@@ -1,0 +1,75 @@
+"""Mesh extraction: dense SDF eval → level-set mesh → PLY.
+
+Parity surface of ref deep_sdf/mesh.py:26-155 (``create_mesh``,
+``convert_sdf_samples_to_ply``) with the TPU grid evaluator and the
+vectorized extractor/PLY writer.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pathlib
+import time
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..networks.decoder import DecoderConfig
+from .grid_eval import eval_sdf_grid, grid_coords
+from .marching import marching_cubes
+from .ply import write_ply
+
+logger = logging.getLogger(__name__)
+
+
+def create_mesh(config: DecoderConfig, params, latent_vec, filename: str | None,
+                N: int = 256, max_batch: int = 32 ** 3, offset=None, scale=None,
+                return_mesh: bool = False):
+    """Reconstruct a shape from one latent code (ref: mesh.py:26-85).
+
+    Grid: N³ over [-1,1]³, voxel_size 2/(N-1), origin (-1,-1,-1).
+    Writes ``filename`` (.ply appended if missing) unless None.
+    """
+    start = time.time()
+    voxel_origin = [-1.0, -1.0, -1.0]
+    voxel_size = 2.0 / (N - 1)
+
+    coords = grid_coords(N, voxel_origin, voxel_size)
+    sdf = eval_sdf_grid(config, params, jnp.asarray(latent_vec).reshape(-1),
+                        coords, chunk=max_batch)
+    sdf_grid = np.asarray(sdf, dtype=np.float64).reshape(N, N, N)
+    logger.debug("sampling takes: %f", time.time() - start)
+
+    return convert_sdf_samples_to_ply(
+        sdf_grid, voxel_origin, voxel_size, filename, offset, scale,
+        return_mesh=return_mesh,
+    )
+
+
+def convert_sdf_samples_to_ply(sdf_grid: np.ndarray, voxel_grid_origin, voxel_size,
+                               ply_filename_out: str | None, offset=None, scale=None,
+                               level: float = 0.0, return_mesh: bool = False):
+    """SDF grid → level-0 mesh → PLY (ref: mesh.py:88-155)."""
+    start_time = time.time()
+    if not isinstance(voxel_size, (list, tuple, np.ndarray)):
+        voxel_size = [voxel_size] * 3
+    verts, faces, normals, values = marching_cubes(
+        np.asarray(sdf_grid), level=level, spacing=voxel_size)
+
+    mesh_points = verts + np.asarray(voxel_grid_origin)[None, :]
+    if scale is not None:
+        mesh_points = mesh_points / scale
+    if offset is not None:
+        mesh_points = mesh_points - offset
+
+    if ply_filename_out is not None:
+        if not str(ply_filename_out).endswith(".ply"):
+            ply_filename_out = str(ply_filename_out) + ".ply"
+        os.makedirs(pathlib.Path(ply_filename_out).parent, exist_ok=True)
+        write_ply(ply_filename_out, mesh_points, faces)
+        logger.debug("converting to ply and writing took %f s", time.time() - start_time)
+    if return_mesh or ply_filename_out is None:
+        return mesh_points, faces
+    return None

@@ -1,0 +1,195 @@
+"""Spec-driven auto-decoder training loop (ref: train_deep_sdf.py:255-581).
+
+Host code orchestrates epochs/checkpoints/logging; all per-step compute
+(batch assembly, forward/backward, optimizer) is one jitted XLA program
+on device (see ``step.py``). Steps are dispatched asynchronously — the
+host enqueues the whole epoch and only blocks when reading the loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import json
+import logging
+import math
+import os
+import signal
+import sys
+import time
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import workspace as ws
+from ..data.dataset import load_device_pools, epoch_scene_batches
+from ..networks.decoder import DecoderConfig, init_decoder_params
+from . import checkpoint as ckpt
+from .schedules import get_learning_rate_schedules
+from .step import TrainConfig, TrainState, init_train_state, train_step
+
+logger = logging.getLogger(__name__)
+
+
+def get_mean_latent_vector_magnitude(latents) -> float:
+    return float(jnp.mean(jnp.linalg.norm(latents, axis=1)))
+
+
+def append_parameter_magnitudes(param_mag_log: dict, params: Any) -> None:
+    """Per-parameter L2 norms, torch-style names (ref: train_deep_sdf.py:246-252)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        name = ".".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        param_mag_log.setdefault(name, []).append(float(jnp.linalg.norm(leaf)))
+
+
+def main_function(experiment_directory: str, continue_from: str | None = None,
+                  batch_split: int = 1, seed: int = 0,
+                  num_epochs_override: int | None = None) -> TrainState:
+    specs = ws.load_experiment_specifications(experiment_directory)
+    logger.info("Experiment description: \n%s", specs.get("Description", ""))
+
+    data_source = specs["DataSource"]
+    with open(specs["TrainSplit"]) as f:
+        train_split = json.load(f)
+
+    cfg = TrainConfig.from_specs(specs, batch_split=batch_split)
+    latent_size = specs["CodeLength"]
+    num_epochs = num_epochs_override or specs["NumEpochs"]
+    log_frequency = specs.get("LogFrequency", 10)
+
+    checkpoints = list(range(
+        specs["SnapshotFrequency"], specs["NumEpochs"] + 1, specs["SnapshotFrequency"],
+    ))
+    checkpoints.extend(specs.get("AdditionalSnapshots", []))
+    checkpoints.sort()
+
+    lr_schedules = get_learning_rate_schedules(specs)
+
+    # --- data: staged to device once (ref used DataLoader workers per step) ---
+    pools = load_device_pools(data_source, train_split, cfg.decoder.geom_dimension)
+    num_scenes = pools.num_scenes
+    logger.info("There are %d scenes", num_scenes)
+
+    # --- init model + latent table (ref :385-390) ---
+    root_key = jax.random.PRNGKey(seed)
+    init_key, latent_key, run_key = jax.random.split(root_key, 3)
+    params = init_decoder_params(init_key, cfg.decoder)
+    code_init_std = specs.get("CodeInitStdDev", 1.0)
+    latents = code_init_std / math.sqrt(latent_size) * jax.random.normal(
+        latent_key, (num_scenes, latent_size), dtype=jnp.float32
+    )
+    state = init_train_state(params, latents)
+
+    loss_log: list[float] = []
+    lr_log: list[list[float]] = []
+    lat_mag_log: list[float] = []
+    timing_log: list[float] = []
+    param_mag_log: dict[str, list[float]] = {}
+    start_epoch = 1
+
+    if continue_from is not None:
+        logger.info('continuing from "%s"', continue_from)
+        lat, lat_epoch = ckpt.load_latent_vectors(experiment_directory, continue_from)
+        model_params, model_epoch = ckpt.load_model_parameters(
+            experiment_directory, continue_from, cfg.decoder, template=state.params)
+        opt_template = {"opt_params": state.opt_params, "opt_latents": state.opt_latents}
+        opt, optimizer_epoch = ckpt.load_optimizer(
+            experiment_directory, continue_from, opt_template)
+        state = TrainState(model_params, lat, opt["opt_params"], opt["opt_latents"])
+        loss_log, lr_log, timing_log, lat_mag_log, param_mag_log, log_epoch = \
+            ckpt.load_logs(experiment_directory)
+        if log_epoch != model_epoch:
+            loss_log, lr_log, timing_log, lat_mag_log, param_mag_log = ckpt.clip_logs(
+                loss_log, lr_log, timing_log, lat_mag_log, param_mag_log, model_epoch)
+        if not (model_epoch == optimizer_epoch == lat_epoch):
+            raise RuntimeError(
+                f"epoch mismatch: {model_epoch} vs {optimizer_epoch} vs {lat_epoch} vs {log_epoch}")
+        start_epoch = model_epoch + 1
+
+    logger.info("starting from epoch %d", start_epoch)
+    n_params = sum(int(np.size(x)) for x in jax.tree_util.tree_leaves(state.params))
+    logger.info("Number of decoder parameters: %d", n_params)
+    logger.info("Number of shape code parameters: %d (# codes %d, code dim %d)",
+                num_scenes * latent_size, num_scenes, latent_size)
+
+    def save_latest(epoch: int) -> None:
+        ckpt.save_model(experiment_directory, "latest", state.params, epoch)
+        ckpt.save_optimizer(experiment_directory, "latest",
+                            {"opt_params": state.opt_params, "opt_latents": state.opt_latents}, epoch)
+        ckpt.save_latent_vectors(experiment_directory, "latest", state.latents, epoch)
+
+    def save_checkpoints(epoch: int) -> None:
+        ckpt.save_model(experiment_directory, str(epoch), state.params, epoch)
+        ckpt.save_optimizer(experiment_directory, str(epoch),
+                            {"opt_params": state.opt_params, "opt_latents": state.opt_latents}, epoch)
+        ckpt.save_latent_vectors(experiment_directory, str(epoch), state.latents, epoch)
+
+    stop_requested = {"flag": False}
+
+    def _sigint(sig, frame):  # ref :311-313 — stop cleanly at epoch boundary
+        logger.info("Stopping early...")
+        stop_requested["flag"] = True
+
+    prev_handler = None
+    if hasattr(signal, "SIGINT"):
+        try:
+            prev_handler = signal.signal(signal.SIGINT, _sigint)
+        except ValueError:
+            prev_handler = None  # not on main thread
+
+    batch_rng = np.random.default_rng(seed + 1)
+    start_train = time.time()
+
+    try:
+        for epoch in range(start_epoch, num_epochs + 1):
+            start = time.time()
+            lr0 = lr_schedules[0].get_learning_rate(epoch)
+            lr1 = lr_schedules[1].get_learning_rate(epoch)
+
+            losses = []
+            for batch_idx, scene_batch in enumerate(
+                    epoch_scene_batches(num_scenes, cfg.scenes_per_batch, batch_rng)):
+                step_key = jax.random.fold_in(jax.random.fold_in(run_key, epoch), batch_idx)
+                state, batch_loss = train_step(
+                    state, pools, jnp.asarray(scene_batch, dtype=jnp.int32), step_key,
+                    jnp.float32(lr0), jnp.float32(lr1), jnp.float32(epoch), cfg,
+                )
+                losses.append(batch_loss)
+
+            # Block once per epoch for the loss values (steps ran async)
+            losses = [float(l) for l in losses]
+            loss_log.extend(losses)
+
+            seconds_elapsed = time.time() - start
+            timing_log.append(seconds_elapsed)
+            tot_time = time.time() - start_train + 1e-9
+            avg = tot_time / max(epoch - start_epoch + 1, 1)
+            eta = str(datetime.timedelta(seconds=round(avg * (num_epochs - epoch))))
+            logger.info("Finished %d (%d/%d) [%.2f%%] in %s (%.2fs/epoch) loss %.5f",
+                        epoch, epoch, num_epochs, epoch / num_epochs * 100, eta, avg,
+                        float(np.mean(losses)) if losses else float("nan"))
+
+            lr_log.append([s.get_learning_rate(epoch) for s in lr_schedules])
+            lat_mag_log.append(get_mean_latent_vector_magnitude(state.latents))
+            append_parameter_magnitudes(param_mag_log, state.params)
+
+            if epoch in checkpoints:
+                save_checkpoints(epoch)
+            if epoch % log_frequency == 0:
+                save_latest(epoch)
+                ckpt.save_logs(experiment_directory, loss_log, lr_log, timing_log,
+                               lat_mag_log, param_mag_log, epoch)
+            if stop_requested["flag"]:
+                save_latest(epoch)
+                ckpt.save_logs(experiment_directory, loss_log, lr_log, timing_log,
+                               lat_mag_log, param_mag_log, epoch)
+                break
+    finally:
+        if prev_handler is not None:
+            signal.signal(signal.SIGINT, prev_handler)
+
+    return state

@@ -1,0 +1,152 @@
+"""End-to-end slice: sample data → train → checkpoint/resume → mesh → chamfer.
+
+Miniature version of the reference corner_spheres experiment
+(ref: experiments/corner_spheres_only_small_network/specs.json,
+evaluation_scripts/04_simple_geom_creation.py:24-30) sized for CPU CI.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from deepsdf_tpu import ws
+from deepsdf_tpu.metrics.chamfer import compute_chamfer, sample_surface
+from deepsdf_tpu.mesh.extract import create_mesh
+from deepsdf_tpu.mesh.marching import marching_tetrahedra
+from deepsdf_tpu.sdf_sampler import CornerSpheresSDF, SDFSampler
+from deepsdf_tpu.train.loop import main_function
+from deepsdf_tpu.train.step import TrainConfig
+
+
+N_SHAPES = 6
+RADII = np.linspace(0.5, 0.95, N_SHAPES)
+
+
+@pytest.fixture(scope="module")
+def experiment(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data_dir = root / "data"
+    split_dir = data_dir / "splits"
+    exp_dir = root / "exp"
+    os.makedirs(exp_dir)
+
+    sampler = SDFSampler(str(data_dir / ws.sdf_samples_subdir), str(split_dir), seed=0)
+    sdfs = [CornerSpheresSDF(r, limit=0.9).SDF for r in RADII]
+    info = {"dataset_name": "microstructure", "class_name": "corner_spheres"}
+    split_ids = sampler.sample_sdfs(sdfs, info, n_samples=3e4)
+    sampler.write_json("corner_spheres.json", info, split_ids)
+
+    specs = {
+        "Description": "e2e mini corner spheres",
+        "DataSource": str(data_dir),
+        "TrainSplit": str(split_dir / "corner_spheres.json"),
+        "NetworkArch": "decoder",
+        "NetworkSpecs": {
+            "dims": [64, 64, 64, 64],
+            "dropout": [0, 1, 2, 3, 4, 5, 6, 7],
+            "dropout_prob": 0.2,
+            "norm_layers": [0, 1, 2, 3, 4, 5, 6, 7],
+            "latent_in": [1],
+            "xyz_in_all": False,
+            "use_tanh": True,
+            "latent_dropout": False,
+            "weight_norm": True,
+            "geom_dimension": 3,
+        },
+        "CodeLength": 2,
+        "NumEpochs": 600,
+        "SnapshotFrequency": 100,
+        "AdditionalSnapshots": [],
+        "LearningRateSchedule": [
+            {"Type": "Step", "Initial": 0.002, "Interval": 300, "Factor": 0.5},
+            {"Type": "Step", "Initial": 0.004, "Interval": 300, "Factor": 0.5},
+        ],
+        "SamplesPerScene": 2048,
+        "ScenesPerBatch": 6,
+        "ClampingDistance": 0.1,
+        "CodeRegularization": True,
+        "CodeRegularizationLambda": 1e-4,
+        "CodeBound": 1.0,
+    }
+    with open(exp_dir / "specs.json", "w") as f:
+        json.dump(specs, f)
+    return {"root": root, "exp": str(exp_dir), "data": str(data_dir), "specs": specs}
+
+
+def test_dataset_files_written(experiment):
+    d = os.path.join(experiment["data"], ws.sdf_samples_subdir,
+                     "microstructure", "corner_spheres")
+    files = sorted(os.listdir(d))
+    assert files[0] == "corner_spheres_10000.npz"
+    assert len(files) == N_SHAPES
+    npz = np.load(os.path.join(d, files[0]))
+    assert set(npz.files) == {"pos", "neg"}
+    assert npz["pos"].shape[1] == 4
+    assert (npz["pos"][:, 3] >= 0).all()
+    assert (npz["neg"][:, 3] < 0).all()
+    # analytic check: sampled distances match a fresh evaluation
+    sdf = CornerSpheresSDF(RADII[0], limit=0.9)
+    recomputed = sdf.SDF(npz["pos"][:128, :3])[:, 0]
+    np.testing.assert_allclose(npz["pos"][:128, 3], recomputed, atol=1e-5)
+
+
+def test_train_reconstruct_chamfer(experiment):
+    state = main_function(experiment["exp"], None, batch_split=1, seed=0)
+    # training converged to reference-level loss (ref final ≈0.013 at
+    # 1000 epochs with 20 shapes; we run 600 epochs on 6 shapes)
+    from deepsdf_tpu.train.checkpoint import load_logs
+    loss_log, lr_log, timing, lat_mag, pmag, epoch = load_logs(experiment["exp"])
+    assert epoch == 600
+    assert np.mean(loss_log[-5:]) < 0.03
+    assert np.mean(loss_log[-5:]) < 0.3 * np.mean(loss_log[:5])
+
+    # reconstruct shape 0 and compare to the analytic SDF surface
+    cfg = TrainConfig.from_specs(experiment["specs"])
+    verts, faces = create_mesh(
+        cfg.decoder, state.params, np.asarray(state.latents[0]),
+        filename=None, N=64, max_batch=32768)
+    assert len(verts) > 500
+
+    # ground-truth point cloud from the analytic SDF at the same resolution
+    n = 64
+    lin = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(lin, lin, lin, indexing="ij")
+    q = np.stack([X.ravel(), Y.ravel(), Z.ravel()], 1)
+    gt_grid = CornerSpheresSDF(RADII[0], limit=0.9).SDF(q).reshape(n, n, n)
+    h = 2.0 / (n - 1)
+    gt_verts, gt_faces, _, _ = marching_tetrahedra(gt_grid, 0.0, (h, h, h))
+    gt_points = sample_surface(gt_verts - 1.0, gt_faces, 20000,
+                               np.random.default_rng(0))
+
+    chamfer = compute_chamfer(gt_points, verts, faces, num_mesh_samples=20000)
+    # CPU-sized run (600 steps, 12k pts/step vs the reference's 2000 steps
+    # × 160k pts on A100); full-scale quality is validated on TPU in bench
+    assert chamfer < 2e-2, chamfer
+
+    ply_path = os.path.join(experiment["exp"], "recon0.ply")
+    create_mesh(cfg.decoder, state.params, np.asarray(state.latents[0]),
+                filename=ply_path, N=48)
+    assert os.path.isfile(ply_path)
+
+
+def test_resume_continues(experiment):
+    # resume from 'latest' (epoch 600) and run 10 more epochs
+    state = main_function(experiment["exp"], "latest", batch_split=1, seed=0,
+                          num_epochs_override=610)
+    from deepsdf_tpu.train.checkpoint import load_logs
+    *_, epoch = load_logs(experiment["exp"])
+    assert epoch == 610  # logs persist at LogFrequency boundaries (ref :570-581)
+
+
+def test_epoch_mismatch_detected(experiment):
+    # corrupting the latent epoch must raise (ref: train_deep_sdf.py:446-451)
+    from deepsdf_tpu.train import checkpoint as ckpt
+    lat, ep = ckpt.load_latent_vectors(experiment["exp"], "latest")
+    ckpt.save_latent_vectors(experiment["exp"], "latest", lat, ep + 7)
+    with pytest.raises(RuntimeError, match="epoch mismatch"):
+        main_function(experiment["exp"], "latest", num_epochs_override=620)
+    ckpt.save_latent_vectors(experiment["exp"], "latest", lat, ep)
