@@ -1,0 +1,96 @@
+"""Evaluation driver: chamfer distance of reconstructions vs ground truth.
+
+Restores the deleted upstream ``evaluate.py`` capability
+(ref README.md:145-158: chamfer over the test split, results under
+``Evaluation/<checkpoint>/``). Ground-truth surface points come from
+``SurfaceSamples/<dataset>/<class>/<id>.ply`` when present (the
+ShapeNet path, produced by the native sampler — see native/), else
+from a level-set extraction of a dense analytic/sampled SDF grid via
+``surface_samples_from_sdf``.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+
+import numpy as np
+
+from .. import workspace as ws
+from ..metrics.chamfer import compute_chamfer, sample_surface
+from ..mesh.marching import marching_tetrahedra
+from ..mesh.ply import read_ply, write_ply
+
+logger = logging.getLogger(__name__)
+
+
+def surface_samples_from_sdf(sdf_fn, n_points: int = 30000, grid_n: int = 128,
+                             seed: int = 0) -> np.ndarray:
+    """Area-weighted surface point cloud of an analytic SDF's zero set."""
+    lin = np.linspace(-1, 1, grid_n)
+    X, Y, Z = np.meshgrid(lin, lin, lin, indexing="ij")
+    q = np.stack([X.ravel(), Y.ravel(), Z.ravel()], 1)
+    grid = np.asarray(sdf_fn(q)).reshape(grid_n, grid_n, grid_n)
+    h = 2.0 / (grid_n - 1)
+    verts, faces, _, _ = marching_tetrahedra(grid, 0.0, (h, h, h))
+    return sample_surface(verts - 1.0, faces, n_points, np.random.default_rng(seed))
+
+
+def write_surface_samples(data_source: str, dataset: str, class_name: str,
+                          instance: str, points: np.ndarray) -> str:
+    path = os.path.join(data_source, ws.surface_samples_subdir, dataset,
+                        class_name, instance + ".ply")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_ply(path, points.astype(np.float32), np.zeros((0, 3), np.int32))
+    return path
+
+
+def evaluate(experiment_directory: str, checkpoint: str, data_source: str,
+             split: dict, num_mesh_samples: int = 30000) -> dict[str, float]:
+    """Chamfer per instance between Reconstructions/<ckpt>/Meshes and
+    SurfaceSamples ground truth; writes Evaluation/<ckpt>/chamfer.json
+    (+ .csv like upstream)."""
+    results: dict[str, float] = {}
+    for dataset in split:
+        for class_name in split[dataset]:
+            for instance in split[dataset][class_name]:
+                mesh_path = ws.get_reconstructed_mesh_filename(
+                    experiment_directory, checkpoint, dataset, class_name, instance)
+                gt_path = os.path.join(data_source, ws.surface_samples_subdir,
+                                       dataset, class_name, instance + ".ply")
+                if not os.path.isfile(mesh_path):
+                    logger.warning("missing reconstruction %s", mesh_path)
+                    continue
+                if not os.path.isfile(gt_path):
+                    logger.warning("missing ground-truth surface samples %s", gt_path)
+                    continue
+                gen_verts, gen_faces = read_ply(mesh_path)
+                gt_points, _ = read_ply(gt_path)
+
+                # normalization params (ShapeNet path, ref README.md:151-156)
+                norm_path = ws.get_normalization_params_filename(
+                    data_source, dataset, class_name, instance)
+                offset, scale = 0.0, 1.0
+                if os.path.isfile(norm_path):
+                    npz = np.load(norm_path)
+                    offset, scale = npz["offset"], float(npz["scale"])
+
+                ch = compute_chamfer(gt_points, gen_verts, gen_faces,
+                                     offset=offset, scale=scale,
+                                     num_mesh_samples=num_mesh_samples)
+                results[f"{dataset}/{class_name}/{instance}"] = ch
+                logging.debug("chamfer %s: %g", instance, ch)
+
+    out_dir = ws.get_evaluation_dir(experiment_directory, checkpoint, True)
+    with open(os.path.join(out_dir, "chamfer.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    with open(os.path.join(out_dir, "chamfer.csv"), "w") as f:
+        f.write("shape, chamfer_dist\n")
+        for k, v in results.items():
+            f.write(f"{k}, {v}\n")
+    if results:
+        vals = np.asarray(list(results.values()))
+        logger.info("chamfer mean %.6f median %.6f over %d shapes",
+                    vals.mean(), np.median(vals), len(vals))
+    return results

@@ -1,0 +1,148 @@
+"""Differentiable microstructure meshing: verts + dVerts/dControl.
+
+Replaces ref deep_sdf/mesh.py:346-528 (``create_mesh_microstructure_diff``),
+which pushed tangents through FlexiCubes once per (latent-dim ×
+control-point) pair — an O(L·C) loop of full re-meshings flagged as the
+key differentiable path (SURVEY.md §3.3).
+
+TPU-native redesign via the implicit-function structure of
+marching-tetrahedra vertices: every output vertex lives on a grid edge
+(p_lo, p_hi) at parameter t = f_lo/(f_lo−f_hi), so
+
+    ∂v/∂θ = (c_hi − c_lo) ⊗ [∂t/∂f_lo · ∂f_lo/∂θ + ∂t/∂f_hi · ∂f_hi/∂θ]
+
+with ∂t/∂f_lo = −f_hi/(f_lo−f_hi)², ∂t/∂f_hi = f_lo/(f_lo−f_hi)², and
+∂f_p/∂θ_{k,l} = (∂f_p/∂lat_l)·B_k(p) — one batched decoder VJP over
+the crossing-edge endpoints gives ∂f/∂lat for ALL latent dims at once.
+Total cost: ONE extraction + ONE batched gradient pass, independent of
+C and L, versus the reference's L·C re-meshings (1.03–1.17 s for 60
+design vars on A100, BASELINE.md).
+
+Border caps enter the chain as min/max subgradients exactly like the
+reference's autograd-through-caps (ref mesh.py:499-514).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..networks.decoder import DecoderConfig, decoder_forward
+from ..ops.tiling import (
+    DEFAULT_CAP_BORDER, apply_border_caps, apply_unit_cube_trim, tile_transform3,
+)
+from .marching import marching_tetrahedra
+from .microstructure import (
+    _normalize_N, _normalize_tiling, cap_items_tuple, domain_basis_matrix,
+    microstructure_sdf,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def diff_grid(N):
+    """Reference diff-path grid: (N+1) points per dim spanning
+    [-1.05, 1.05] (FlexiCubes construct_voxel_grid × 2.1,
+    ref mesh.py:460-466). Returns (coords (M,3), dims, spacing, origin)."""
+    dims = tuple(n + 1 for n in N)
+    spacing = tuple(2.1 / n for n in N)
+    origin = (-1.05, -1.05, -1.05)
+    axes = [np.linspace(-1.05, 1.05, d) for d in dims]
+    X, Y, Z = np.meshgrid(*axes, indexing="ij")
+    coords = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1).astype(np.float32)
+    return coords, dims, spacing, origin
+
+
+@partial(jax.jit, static_argnames=("config", "tiling", "cap_items"))
+def _point_latent_grads(config: DecoderConfig, params, orig_pts: jax.Array,
+                        lat_pts: jax.Array, tiling, cap_items) -> jax.Array:
+    """∂(capped sdf)/∂latent at each point: (P, L)."""
+    cap_dict = {loc: {"cap": c, "measure": m} for (loc, c, m) in cap_items}
+    tiled = tile_transform3(orig_pts, tiling)
+
+    def point_sdf(lat, xyz_t, orig):
+        val = decoder_forward(config, params,
+                              jnp.concatenate([lat, xyz_t])[None, :])[0, 0]
+        val = apply_border_caps(val, orig, cap_dict)
+        return apply_unit_cube_trim(val, orig)
+
+    return jax.vmap(jax.grad(point_sdf, argnums=0))(lat_pts, tiled, orig_pts)
+
+
+def create_mesh_microstructure_diff(tiling, config: DecoderConfig, params,
+                                    latent_vec_interpolation, N=256,
+                                    max_batch: int = 32 ** 3,
+                                    cap_border_dict=None,
+                                    compute_derivatives: bool = True):
+    """Returns (verts, faces, tot_jac): verts in [0,1] scale
+    ((phys+1)/2, ref mesh.py:450), tot_jac (n_verts, 3, C, L) =
+    d(verts)/d(control_points) — consistent with the RETURNED verts
+    (the reference leaves its jacobian in pre-scaling units,
+    ref mesh.py:435-450; ours includes the 1/2)."""
+    cap_border_dict = cap_border_dict or DEFAULT_CAP_BORDER
+    tiling = _normalize_tiling(tiling)
+    N = _normalize_N(N)
+    spline = latent_vec_interpolation
+    cap_items = cap_items_tuple(cap_border_dict)
+
+    t_start = time.time()
+    coords_np, dims, spacing, origin = diff_grid(N)
+    logger.debug("Querying %d DeepSDF points", coords_np.shape[0])
+    coords = jnp.asarray(coords_np)
+    basis = domain_basis_matrix(spline, coords_np)
+    cpts = jnp.asarray(spline.control_points, dtype=jnp.float32)
+
+    sdf = microstructure_sdf(config, params, cpts, jnp.asarray(basis), coords,
+                             tiling, cap_items, chunk=max_batch)
+    sdf_grid = np.asarray(sdf, dtype=np.float64).reshape(dims)
+
+    verts, faces, _, _, topo = marching_tetrahedra(
+        sdf_grid, 0.0, spacing, return_topology=True)
+    verts_phys = verts + np.asarray(origin)
+
+    tot_jac = None
+    if compute_derivatives:
+        u_lo, u_hi = topo["u_lo"], topo["u_hi"]
+        f = np.asarray(sdf, dtype=np.float64)
+        f_lo, f_hi = f[u_lo], f[u_hi]
+        denom = f_lo - f_hi
+        denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+        dt_dflo = -f_hi / denom ** 2                    # (V,)
+        dt_dfhi = f_lo / denom ** 2
+
+        # one batched gradient pass over the 2V edge endpoints
+        pts_idx = np.concatenate([u_lo, u_hi])
+        orig_pts = coords_np[pts_idx]
+        lat_pts = (basis[pts_idx] @ np.asarray(spline.control_points)).astype(np.float32)
+        g = np.asarray(_point_latent_grads(
+            config, params, jnp.asarray(orig_pts), jnp.asarray(lat_pts),
+            tiling, cap_items))                          # (2V, L)
+        g_lo, g_hi = g[:len(u_lo)], g[len(u_lo):]
+        B_lo, B_hi = basis[u_lo], basis[u_hi]            # (V, C)
+
+        # df_p/dθ_{k,l} = g_p[l] * B_p[k];  dv/dθ = (c_hi−c_lo) dt/dθ
+        dfdth_lo = g_lo[:, None, :] * B_lo[:, :, None]   # (V, C, L)
+        dfdth_hi = g_hi[:, None, :] * B_hi[:, :, None]
+        dt_dth = dt_dflo[:, None, None] * dfdth_lo + dt_dfhi[:, None, None] * dfdth_hi
+
+        def coords_of(flat):
+            ny, nz = dims[1], dims[2]
+            i = flat // (ny * nz)
+            j = (flat // nz) % ny
+            k = flat % nz
+            return np.stack([i, j, k], 1).astype(np.float64) * np.asarray(spacing)
+
+        edge_vec = coords_of(u_hi) - coords_of(u_lo)     # (V, 3)
+        # d(returned verts)/dθ includes the (phys+1)/2 scaling ⇒ × 1/2
+        tot_jac = 0.5 * edge_vec[:, :, None, None] * dt_dth[:, None, :, :]
+
+    logger.debug("Time for querying %d points and computing derivatives: %f",
+                 coords_np.shape[0], time.time() - t_start)
+    verts01 = (verts_phys + 1.0) / 2.0
+    return verts01, faces, tot_jac

@@ -72,13 +72,19 @@ for case, tris in enumerate(_CASE_TRIS):
 
 
 def marching_tetrahedra(volume: np.ndarray, level: float = 0.0,
-                        spacing=(1.0, 1.0, 1.0)):
+                        spacing=(1.0, 1.0, 1.0), return_topology: bool = False):
     """Extract the ``level`` isosurface of a (Nx,Ny,Nz) scalar grid.
 
     Returns (verts, faces, normals, values) matching the
     skimage.measure.marching_cubes return convention
     (verts in physical units = index * spacing; normals point toward
     positive field values i.e. outside for SDFs).
+
+    With ``return_topology`` additionally returns a dict
+    {"u_lo", "u_hi", "t"}: per output vertex the two flat grid-point
+    ids of its crossing edge and the interpolation parameter — the
+    fixed combinatorial structure the differentiable extraction path
+    (diff_mesh.py) re-parameterizes by field values.
     """
     V = np.asarray(volume, dtype=np.float64)
     if V.ndim != 3:
@@ -98,8 +104,12 @@ def marching_tetrahedra(volume: np.ndarray, level: float = 0.0,
         same &= c == occ
     ci, cj, ck = np.nonzero(~same)
     if ci.size == 0:
-        return (np.zeros((0, 3)), np.zeros((0, 3), np.int64),
-                np.zeros((0, 3)), np.zeros(0))
+        empty = (np.zeros((0, 3)), np.zeros((0, 3), np.int64),
+                 np.zeros((0, 3)), np.zeros(0))
+        if return_topology:
+            return (*empty, {"u_lo": np.zeros(0, np.int64),
+                             "u_hi": np.zeros(0, np.int64), "t": np.zeros(0)})
+        return empty
 
     # flat grid-point ids of the 8 corners of each active cell: (A, 8)
     corner_ids = ((ci[:, None] + _CORNERS[:, 0]) * ny
@@ -181,6 +191,8 @@ def marching_tetrahedra(volume: np.ndarray, level: float = 0.0,
     normals = normals / np.where(norm > 0, norm, 1.0)
 
     values = va * (1 - t) + vb * t + float(level)
+    if return_topology:
+        return verts, faces, normals, values, {"u_lo": u_lo, "u_hi": u_hi, "t": t}
     return verts, faces, normals, values
 
 
