@@ -79,12 +79,17 @@ def create_mesh_microstructure_diff(tiling, config: DecoderConfig, params,
                                     latent_vec_interpolation, N=256,
                                     max_batch: int = 32 ** 3,
                                     cap_border_dict=None,
-                                    compute_derivatives: bool = True):
+                                    compute_derivatives: bool = True,
+                                    return_extras: bool = False):
     """Returns (verts, faces, tot_jac): verts in [0,1] scale
     ((phys+1)/2, ref mesh.py:450), tot_jac (n_verts, 3, C, L) =
     d(verts)/d(control_points) — consistent with the RETURNED verts
     (the reference leaves its jacobian in pre-scaling units,
-    ref mesh.py:435-450; ours includes the 1/2)."""
+    ref mesh.py:435-450; ours includes the 1/2).
+
+    ``return_extras`` additionally returns a dict with the raw SDF grid
+    (``field``, ``dims``, ``spacing``, ``origin``) and the extraction
+    ``topo`` — consumed by the volume-stuffing path (opt/geometry.py)."""
     cap_border_dict = cap_border_dict or DEFAULT_CAP_BORDER
     tiling = _normalize_tiling(tiling)
     N = _normalize_N(N)
@@ -145,4 +150,8 @@ def create_mesh_microstructure_diff(tiling, config: DecoderConfig, params,
     logger.debug("Time for querying %d points and computing derivatives: %f",
                  coords_np.shape[0], time.time() - t_start)
     verts01 = (verts_phys + 1.0) / 2.0
+    if return_extras:
+        extras = {"field": np.asarray(sdf, dtype=np.float64), "dims": dims,
+                  "spacing": spacing, "origin": origin, "topo": topo}
+        return verts01, faces, tot_jac, extras
     return verts01, faces, tot_jac
