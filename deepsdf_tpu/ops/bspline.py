@@ -183,3 +183,50 @@ class Bezier(BSpline):
     def __init__(self, degrees, control_points):
         knot_vectors = [[0.0] * (int(d) + 1) + [1.0] * (int(d) + 1) for d in degrees]
         super().__init__(degrees, knot_vectors, control_points)
+
+    def _cp_grid(self) -> np.ndarray:
+        """Control points as an (n0, n1, ..., dim) grid (first dim fastest)."""
+        res = self.control_mesh_resolutions
+        grid = self.control_points.reshape(*reversed(res), self.dim)
+        return np.moveaxis(grid, range(self.para_dim),
+                           list(reversed(range(self.para_dim))))
+
+    @classmethod
+    def _from_cp_grid(cls, degrees, grid) -> "Bezier":
+        pd = len(degrees)
+        g = np.moveaxis(grid, range(pd), list(reversed(range(pd))))
+        return cls(degrees, g.reshape(-1, grid.shape[-1]))
+
+    def extruded(self, extrusion_vector) -> "Bezier":
+        """Linear extrusion along a geometric vector; adds one parametric
+        dim (splinepy create.extruded analog). 2-D control points are
+        zero-padded to the vector's dimension first."""
+        vec = np.asarray(extrusion_vector, dtype=np.float64)
+        cp = self.control_points
+        if cp.shape[1] < vec.shape[0]:
+            cp = np.hstack([cp, np.zeros((cp.shape[0], vec.shape[0] - cp.shape[1]))])
+        layers = np.concatenate([cp, cp + vec[None, :]], axis=0)
+        return Bezier(list(self.degrees) + [1], layers)
+
+    def elevate_degree(self, para_dim: int) -> "Bezier":
+        """Bezier degree elevation by one along ``para_dim``."""
+        grid = self._cp_grid()
+        grid = np.moveaxis(grid, para_dim, 0)          # (n, ..., dim)
+        p = self.degrees[para_dim]
+        n_new = p + 2
+        out = np.empty((n_new,) + grid.shape[1:], dtype=grid.dtype)
+        out[0] = grid[0]
+        out[-1] = grid[-1]
+        for i in range(1, p + 1):
+            a = i / (p + 1)
+            out[i] = a * grid[i - 1] + (1 - a) * grid[i]
+        out = np.moveaxis(out, 0, para_dim)
+        degrees = list(self.degrees)
+        degrees[para_dim] = p + 1
+        return Bezier._from_cp_grid(degrees, out)
+
+    def elevate_degrees(self, para_dims) -> "Bezier":
+        b = self
+        for d in para_dims:
+            b = b.elevate_degree(int(d))
+        return b
