@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Build the reference training datasets with the TPU-native sampler.
+
+Dataset recipes mirror the reference data-gen scripts:
+  corner_spheres / round_cross — ref evaluation_scripts/04_simple_geom_creation.py
+  snappy3D                      — ref evaluation_scripts/08_facade_microtile_creation.py
+  double_lattice                — ref evaluation_scripts/10_gen_double_lattice_training_data.py
+"""
+
+import argparse
+import os
+import pathlib
+
+import numpy as np
+
+from deepsdf_tpu.mesh.ply import write_ply
+from deepsdf_tpu.sdf_sampler import (
+    CornerSpheresSDF, CrossMsSDF, SDFSampler, SDFfromMesh,
+)
+from deepsdf_tpu.sdf_sampler.tiles import DoubleLatticeExtruded, Snappy3D
+
+
+def gen_corner_spheres(sampler, n_samples):
+    """ref 04_simple_geom_creation.py:24-30."""
+    ms = [CornerSpheresSDF(r, limit=0.9) for r in np.linspace(0.4, 1, 20)]
+    info = {"dataset_name": "microstructure", "class_name": "corner_spheres"}
+    split = sampler.sample_sdfs([m.SDF for m in ms], info, n_samples=n_samples)
+    sampler.write_json("corner_spheres_only.json", info, split)
+
+
+def gen_round_cross(sampler, n_samples):
+    """ref 04_simple_geom_creation.py:9-14."""
+    ms = [CrossMsSDF(r) for r in np.linspace(0.1, 0.75, 20)]
+    info = {"dataset_name": "microstructure", "class_name": "round_cross"}
+    split = sampler.sample_sdfs([m.SDF for m in ms], info, n_samples=n_samples)
+    sampler.write_json("round_cross_only.json", info, split)
+
+
+def gen_snappy(sampler, n_samples, geometry_dir, resolution=20):
+    """ref 08_facade_microtile_creation.py:19-34 (40 shapes, t∈[0,0.2])."""
+    os.makedirs(geometry_dir, exist_ok=True)
+    sdfs = []
+    for i, t in enumerate(np.linspace(0, 0.2, 40)):
+        verts, faces = Snappy3D().create_surface_mesh(
+            parameters=np.array([[t]]), resolution=resolution)
+        write_ply(str(pathlib.Path(geometry_dir) / f"snappy_{i}.ply"), verts, faces)
+        sdfs.append(SDFfromMesh(vertices=verts.astype(np.float32), faces=faces))
+    info = {"dataset_name": "microstructure", "class_name": "snappy3D"}
+    split = sampler.sample_sdfs(sdfs, info, n_samples=n_samples)
+    sampler.write_json("snappy3D.json", info, split)
+
+
+def gen_double_lattice(sampler, n_samples, geometry_dir, analytic=True):
+    """ref 10_gen_double_lattice_training_data.py:22-41 (21×21 shapes,
+    t1,t2∈[0.05,0.2]). ``analytic`` samples the exact CSG SDF on device;
+    otherwise meshes each tile and uses the winding-number SDF."""
+    os.makedirs(geometry_dir, exist_ok=True)
+    sdfs = []
+    index = 0
+    tile = DoubleLatticeExtruded()
+    for t1 in np.linspace(0.05, 0.2, 21):
+        for t2 in np.linspace(0.05, 0.2, 21):
+            if analytic:
+                sdfs.append(tile.sdf(np.array([[t1, t2]])))
+            else:
+                verts, faces = tile.create_surface_mesh(np.array([[t1, t2]]))
+                fname = f"{index}_double_lattice_{t1:.2f}_{t2:.2f}".replace(".", "_")
+                write_ply(str(pathlib.Path(geometry_dir) / (fname + ".ply")),
+                          verts, faces)
+                sdfs.append(SDFfromMesh(vertices=verts.astype(np.float32),
+                                        faces=faces))
+            index += 1
+    info = {"dataset_name": "microstructure", "class_name": "double_lattice"}
+    split = sampler.sample_sdfs(sdfs, info, n_samples=n_samples)
+    sampler.write_json("double_lattice_3D.json", info, split)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("datasets", nargs="+",
+                   choices=("corner_spheres", "round_cross", "snappy3D",
+                            "double_lattice"))
+    p.add_argument("--outdir", default="data/SdfSamples")
+    p.add_argument("--splitdir", default="data/splits")
+    p.add_argument("--geometry-dir", default="data/geometry")
+    p.add_argument("--samples", type=float, default=1e5)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    sampler = SDFSampler(args.outdir, args.splitdir, seed=args.seed)
+    for ds in args.datasets:
+        if ds == "corner_spheres":
+            gen_corner_spheres(sampler, args.samples)
+        elif ds == "round_cross":
+            gen_round_cross(sampler, args.samples)
+        elif ds == "snappy3D":
+            gen_snappy(sampler, args.samples,
+                       os.path.join(args.geometry_dir, "snappy_tile"))
+        elif ds == "double_lattice":
+            gen_double_lattice(sampler, args.samples,
+                               os.path.join(args.geometry_dir, "double_lattice"))

@@ -1,0 +1,18 @@
+#!/usr/bin/env python3
+"""Run a structure optimization (CLI parity: ref run_optimization.py:9-21)."""
+
+import argparse
+
+from deepsdf_tpu.opt.driver import configure_logging, struct_optimization
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("optimization_folder", type=str,
+                        help="folder containing config.json")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--fem", choices=("scipy", "jax"), default="scipy",
+                        help="FEM solve path: host float64 or accelerator CG")
+    args = parser.parse_args()
+    configure_logging(args.optimization_folder, debug=args.debug)
+    opt = struct_optimization(args.optimization_folder, fem_method=args.fem)
+    opt.run_optimization()
