@@ -38,6 +38,7 @@ def main() -> None:
     cfg = TrainConfig(
         decoder=config, samples_per_scene=16000, scenes_per_batch=10,
         clamp_dist=0.1, code_bound=1.0, batch_split=1,
+        fused=True,  # Pallas fused point-MLP kernel (ops/fused_mlp.py)
     )
 
     num_scenes = 400

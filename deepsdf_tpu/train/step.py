@@ -50,9 +50,10 @@ class TrainConfig:
     code_bound: float | None = None
     grad_clip: float | None = None
     batch_split: int = 1
+    fused: bool = False   # use the Pallas fused MLP kernel (ops/fused_mlp.py)
 
     @classmethod
-    def from_specs(cls, specs: dict, batch_split: int = 1) -> "TrainConfig":
+    def from_specs(cls, specs: dict, batch_split: int = 1, fused: bool = False) -> "TrainConfig":
         g = lambda k, d: specs.get(k, d)
         return cls(
             decoder=DecoderConfig.from_specs(specs),
@@ -64,6 +65,7 @@ class TrainConfig:
             code_bound=g("CodeBound", None),
             grad_clip=g("GradientClipNorm", None),
             batch_split=batch_split,
+            fused=fused,
         )
 
 
@@ -114,7 +116,13 @@ def _loss_on_chunk(params, latents, cfg: TrainConfig, xyz, sdf_gt, point_scene_i
     minT, maxT = -cfg.clamp_dist, cfg.clamp_dist
     batch_vecs = latents[point_scene_idx]                      # (n, L) gather
     inputs = jnp.concatenate([batch_vecs, xyz], axis=1)
-    pred = decoder_forward(cfg.decoder, params, inputs, training=True, rng=rng)
+    if cfg.fused:
+        from ..ops.fused_mlp import fused_decoder_forward
+        seed = jax.random.randint(rng, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
+        pred = fused_decoder_forward(cfg.decoder, params, inputs,
+                                     training=True, seed=seed)
+    else:
+        pred = decoder_forward(cfg.decoder, params, inputs, training=True, rng=rng)
     pred = jnp.clip(pred, minT, maxT)
     loss = jnp.sum(jnp.abs(pred - sdf_gt)) / num_sdf_samples
     if cfg.do_code_regularization:
