@@ -1,0 +1,603 @@
+// deepsdf_native — native mesh→SDF preprocessing library.
+//
+// TPU-framework replacement for the reference's Pangolin/OpenGL pipeline
+// (ref: src/PreprocessMesh.cpp:23-565, src/SampleVisibleMeshSurface.cpp:23-324,
+// src/Utils.cpp:7-244, third-party/cnpy). The reference rendered the mesh
+// from 100 viewpoints into an FBO to find visible surface points and
+// determined SDF signs by unanimous kNN normal votes; that requires a GPU
+// + display stack. Here the same outputs are produced headlessly and more
+// robustly:
+//   * exact point-triangle distance through a median-split AABB BVH
+//   * inside/outside via the fast generalized winding number
+//     (Barill et al. 2018 dipole-tree approximation, exact at leaves)
+//   * identical sampling recipe: area-weighted surface samples, two
+//     Gaussian perturbation shells (variance, variance/10), 47/50
+//     near-surface ratio, uniform box remainder, unit-sphere
+//     normalization with buffer 1.03 (ref PreprocessMesh.cpp:282-318,
+//     Utils.cpp BoundingCubeNormalization)
+//   * npy/npz (stored, CRC32) writer — cnpy-equivalent, dependency-free
+// All RNG is explicitly seeded (the reference used unseeded
+// std::random_device everywhere — SURVEY.md §5.2).
+//
+// Build: make -C native/preprocess       (libdeepsdf_native.so + CLIs)
+// Python binding: deepsdf_tpu/native.py (ctypes).
+
+#include <algorithm>
+#include <array>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <iostream>
+#include <memory>
+#include <numeric>
+#include <random>
+#include <sstream>
+#include <string>
+#include <vector>
+
+namespace dsdf {
+
+struct Vec3 {
+  float x = 0, y = 0, z = 0;
+  Vec3() = default;
+  Vec3(float a, float b, float c) : x(a), y(b), z(c) {}
+  Vec3 operator+(const Vec3& o) const { return {x + o.x, y + o.y, z + o.z}; }
+  Vec3 operator-(const Vec3& o) const { return {x - o.x, y - o.y, z - o.z}; }
+  Vec3 operator*(float s) const { return {x * s, y * s, z * s}; }
+  float dot(const Vec3& o) const { return x * o.x + y * o.y + z * o.z; }
+  Vec3 cross(const Vec3& o) const {
+    return {y * o.z - z * o.y, z * o.x - x * o.z, x * o.y - y * o.x};
+  }
+  float norm2() const { return dot(*this); }
+  float norm() const { return std::sqrt(norm2()); }
+};
+
+struct Mesh {
+  std::vector<Vec3> vertices;
+  std::vector<std::array<uint32_t, 3>> faces;
+};
+
+// ------------------------------------------------------------------ IO
+
+static bool ends_with(const std::string& s, const std::string& suf) {
+  return s.size() >= suf.size() && s.compare(s.size() - suf.size(), suf.size(), suf) == 0;
+}
+
+bool load_obj(const std::string& path, Mesh& mesh) {
+  std::ifstream in(path);
+  if (!in) return false;
+  std::string line;
+  while (std::getline(in, line)) {
+    if (line.rfind("v ", 0) == 0) {
+      Vec3 v;
+      if (sscanf(line.c_str(), "v %f %f %f", &v.x, &v.y, &v.z) == 3)
+        mesh.vertices.push_back(v);
+    } else if (line.rfind("f ", 0) == 0) {
+      // f i j k [l...] with optional /vt/vn — triangulate fans
+      std::istringstream ss(line.substr(2));
+      std::vector<uint32_t> ids;
+      std::string tok;
+      while (ss >> tok) {
+        ids.push_back((uint32_t)std::stoul(tok.substr(0, tok.find('/'))) - 1);
+      }
+      for (size_t i = 2; i < ids.size(); i++)
+        mesh.faces.push_back({{ids[0], ids[i - 1], ids[i]}});
+    }
+  }
+  return !mesh.vertices.empty() && !mesh.faces.empty();
+}
+
+bool load_ply(const std::string& path, Mesh& mesh) {
+  std::ifstream in(path, std::ios::binary);
+  if (!in) return false;
+  std::string line;
+  std::getline(in, line);
+  if (line.rfind("ply", 0) != 0) return false;
+  bool binary = false;
+  size_t n_verts = 0, n_faces = 0;
+  std::vector<std::pair<std::string, int>> vprops;  // name, byte size
+  bool in_vertex = false;
+  while (std::getline(in, line)) {
+    if (line.rfind("end_header", 0) == 0) break;
+    std::istringstream ss(line);
+    std::string w0, w1, w2, w3;
+    ss >> w0 >> w1 >> w2 >> w3;
+    if (w0 == "format") binary = (w1 == "binary_little_endian");
+    else if (w0 == "element") {
+      in_vertex = (w1 == "vertex");
+      if (w1 == "vertex") n_verts = std::stoul(w2);
+      else if (w1 == "face") n_faces = std::stoul(w2);
+    } else if (w0 == "property" && in_vertex && w1 != "list") {
+      int sz = (w1 == "double") ? 8 : (w1 == "float" || w1 == "float32" || w1 == "int" || w1 == "int32" || w1 == "uint" || w1 == "uint32") ? 4
+               : (w1 == "short" || w1 == "ushort") ? 2 : 1;
+      vprops.push_back({w2, sz});
+    }
+  }
+  mesh.vertices.resize(n_verts);
+  if (binary) {
+    size_t stride = 0, ox = 0, oy = 0, oz = 0;
+    for (auto& p : vprops) {
+      if (p.first == "x") ox = stride;
+      if (p.first == "y") oy = stride;
+      if (p.first == "z") oz = stride;
+      stride += p.second;
+    }
+    std::vector<char> buf(stride * n_verts);
+    in.read(buf.data(), buf.size());
+    for (size_t i = 0; i < n_verts; i++) {
+      std::memcpy(&mesh.vertices[i].x, &buf[i * stride + ox], 4);
+      std::memcpy(&mesh.vertices[i].y, &buf[i * stride + oy], 4);
+      std::memcpy(&mesh.vertices[i].z, &buf[i * stride + oz], 4);
+    }
+    for (size_t i = 0; i < n_faces; i++) {
+      uint8_t cnt;
+      in.read((char*)&cnt, 1);
+      std::vector<int32_t> idx(cnt);
+      in.read((char*)idx.data(), 4 * cnt);
+      for (int k = 2; k < cnt; k++)
+        mesh.faces.push_back({{(uint32_t)idx[0], (uint32_t)idx[k - 1], (uint32_t)idx[k]}});
+    }
+  } else {
+    for (size_t i = 0; i < n_verts; i++) {
+      std::getline(in, line);
+      std::istringstream ss(line);
+      ss >> mesh.vertices[i].x >> mesh.vertices[i].y >> mesh.vertices[i].z;
+    }
+    for (size_t i = 0; i < n_faces; i++) {
+      std::getline(in, line);
+      std::istringstream ss(line);
+      int cnt; ss >> cnt;
+      std::vector<uint32_t> idx(cnt);
+      for (int k = 0; k < cnt; k++) ss >> idx[k];
+      for (int k = 2; k < cnt; k++)
+        mesh.faces.push_back({{idx[0], idx[k - 1], idx[k]}});
+    }
+  }
+  return !mesh.vertices.empty() && !mesh.faces.empty();
+}
+
+bool load_mesh(const std::string& path, Mesh& mesh) {
+  if (ends_with(path, ".obj")) return load_obj(path, mesh);
+  if (ends_with(path, ".ply")) return load_ply(path, mesh);
+  return load_obj(path, mesh) || load_ply(path, mesh);
+}
+
+// ----------------------------------------------------------- npy / npz
+
+static uint32_t crc32(const uint8_t* data, size_t n, uint32_t crc = 0) {
+  static uint32_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (uint32_t i = 0; i < 256; i++) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; k++) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+      table[i] = c;
+    }
+    init = true;
+  }
+  crc = ~crc;
+  for (size_t i = 0; i < n; i++) crc = table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+  return ~crc;
+}
+
+std::string npy_bytes(const float* data, size_t rows, size_t cols) {
+  std::ostringstream hdr;
+  hdr << "{'descr': '<f4', 'fortran_order': False, 'shape': (" << rows << ", "
+      << cols << "), }";
+  std::string h = hdr.str();
+  size_t total = 10 + h.size() + 1;
+  size_t pad = (64 - total % 64) % 64;
+  h += std::string(pad, ' ');
+  h += '\n';
+  std::string out;
+  out += "\x93NUMPY";
+  out += '\x01'; out += '\x00';
+  uint16_t hlen = (uint16_t)h.size();
+  out.append((char*)&hlen, 2);
+  out += h;
+  out.append((const char*)data, rows * cols * 4);
+  return out;
+}
+
+struct ZipEntry { std::string name; std::string bytes; };
+
+bool write_zip_stored(const std::string& path, const std::vector<ZipEntry>& entries) {
+  std::ofstream out(path, std::ios::binary);
+  if (!out) return false;
+  struct Rec { uint32_t crc, size, offset; };
+  std::vector<Rec> recs;
+  for (auto& e : entries) {
+    Rec r;
+    r.crc = crc32((const uint8_t*)e.bytes.data(), e.bytes.size());
+    r.size = (uint32_t)e.bytes.size();
+    r.offset = (uint32_t)out.tellp();
+    recs.push_back(r);
+    uint32_t sig = 0x04034b50;
+    uint16_t version = 20, flags = 0, method = 0, mtime = 0, mdate = 0;
+    uint16_t nlen = (uint16_t)e.name.size(), xlen = 0;
+    out.write((char*)&sig, 4);
+    out.write((char*)&version, 2); out.write((char*)&flags, 2);
+    out.write((char*)&method, 2); out.write((char*)&mtime, 2);
+    out.write((char*)&mdate, 2); out.write((char*)&r.crc, 4);
+    out.write((char*)&r.size, 4); out.write((char*)&r.size, 4);
+    out.write((char*)&nlen, 2); out.write((char*)&xlen, 2);
+    out.write(e.name.data(), nlen);
+    out.write(e.bytes.data(), e.bytes.size());
+  }
+  uint32_t cd_start = (uint32_t)out.tellp();
+  for (size_t i = 0; i < entries.size(); i++) {
+    auto& e = entries[i];
+    auto& r = recs[i];
+    uint32_t sig = 0x02014b50;
+    uint16_t vmade = 20, vneed = 20, flags = 0, method = 0, mtime = 0, mdate = 0;
+    uint16_t nlen = (uint16_t)e.name.size(), xlen = 0, clen = 0, disk = 0, iattr = 0;
+    uint32_t eattr = 0;
+    out.write((char*)&sig, 4);
+    out.write((char*)&vmade, 2); out.write((char*)&vneed, 2);
+    out.write((char*)&flags, 2); out.write((char*)&method, 2);
+    out.write((char*)&mtime, 2); out.write((char*)&mdate, 2);
+    out.write((char*)&r.crc, 4); out.write((char*)&r.size, 4);
+    out.write((char*)&r.size, 4);
+    out.write((char*)&nlen, 2); out.write((char*)&xlen, 2);
+    out.write((char*)&clen, 2); out.write((char*)&disk, 2);
+    out.write((char*)&iattr, 2); out.write((char*)&eattr, 4);
+    out.write((char*)&r.offset, 4);
+    out.write(e.name.data(), nlen);
+  }
+  uint32_t cd_size = (uint32_t)out.tellp() - cd_start;
+  uint32_t sig = 0x06054b50;
+  uint16_t disk = 0, cddisk = 0, n = (uint16_t)entries.size();
+  uint16_t comment = 0;
+  out.write((char*)&sig, 4);
+  out.write((char*)&disk, 2); out.write((char*)&cddisk, 2);
+  out.write((char*)&n, 2); out.write((char*)&n, 2);
+  out.write((char*)&cd_size, 4); out.write((char*)&cd_start, 4);
+  out.write((char*)&comment, 2);
+  return true;
+}
+
+// ------------------------------------------------------------------ BVH
+
+struct BVHNode {
+  Vec3 bmin, bmax;
+  Vec3 dipole_normal;   // area-weighted normal sum of contained tris
+  Vec3 centroid;        // area-weighted centroid
+  float area = 0;
+  float radius = 0;     // bounding radius around centroid
+  int left = -1, right = -1;
+  int start = 0, count = 0;  // leaf triangle range
+};
+
+struct Tri { Vec3 a, b, c; Vec3 an; float area; Vec3 cen; };
+
+class MeshAccel {
+ public:
+  explicit MeshAccel(const Mesh& mesh) {
+    tris_.reserve(mesh.faces.size());
+    for (auto& f : mesh.faces) {
+      Tri t;
+      t.a = mesh.vertices[f[0]];
+      t.b = mesh.vertices[f[1]];
+      t.c = mesh.vertices[f[2]];
+      Vec3 n = (t.b - t.a).cross(t.c - t.a);
+      t.area = 0.5f * n.norm();
+      t.an = n * 0.5f;  // area-weighted normal
+      t.cen = (t.a + t.b + t.c) * (1.0f / 3.0f);
+      tris_.push_back(t);
+    }
+    order_.resize(tris_.size());
+    std::iota(order_.begin(), order_.end(), 0);
+    nodes_.reserve(2 * tris_.size());
+    build(0, (int)tris_.size());
+  }
+
+  float signed_distance(const Vec3& p) const {
+    float best = 1e30f;
+    nearest(0, p, best);
+    double w = winding(0, p);
+    float d = std::sqrt(best);
+    return (w > 0.5) ? -d : d;
+  }
+
+  const std::vector<Tri>& tris() const { return tris_; }
+  const std::vector<int>& order() const { return order_; }
+
+ private:
+  std::vector<Tri> tris_;
+  std::vector<int> order_;
+  std::vector<BVHNode> nodes_;
+
+  int build(int start, int count) {
+    BVHNode node;
+    node.bmin = {1e30f, 1e30f, 1e30f};
+    node.bmax = {-1e30f, -1e30f, -1e30f};
+    Vec3 nsum, csum;
+    float asum = 0;
+    for (int i = start; i < start + count; i++) {
+      const Tri& t = tris_[order_[i]];
+      for (const Vec3* v : {&t.a, &t.b, &t.c}) {
+        node.bmin = {std::min(node.bmin.x, v->x), std::min(node.bmin.y, v->y),
+                     std::min(node.bmin.z, v->z)};
+        node.bmax = {std::max(node.bmax.x, v->x), std::max(node.bmax.y, v->y),
+                     std::max(node.bmax.z, v->z)};
+      }
+      nsum = nsum + t.an;
+      csum = csum + t.cen * t.area;
+      asum += t.area;
+    }
+    node.dipole_normal = nsum;
+    node.area = asum;
+    node.centroid = asum > 0 ? csum * (1.0f / asum)
+                             : (node.bmin + node.bmax) * 0.5f;
+    Vec3 ext = node.bmax - node.bmin;
+    node.radius = 0.5f * ext.norm();
+    node.start = start;
+    node.count = count;
+    int idx = (int)nodes_.size();
+    nodes_.push_back(node);
+    if (count <= 4) return idx;
+    // split along longest axis at median
+    int axis = (ext.x > ext.y && ext.x > ext.z) ? 0 : (ext.y > ext.z ? 1 : 2);
+    std::nth_element(
+        order_.begin() + start, order_.begin() + start + count / 2,
+        order_.begin() + start + count,
+        [&](int aa, int bb) {
+          const Vec3& ca = tris_[aa].cen;
+          const Vec3& cb = tris_[bb].cen;
+          return (axis == 0 ? ca.x < cb.x : axis == 1 ? ca.y < cb.y : ca.z < cb.z);
+        });
+    int l = build(start, count / 2);
+    int r = build(start + count / 2, count - count / 2);
+    nodes_[idx].left = l;
+    nodes_[idx].right = r;
+    nodes_[idx].count = 0;
+    return idx;
+  }
+
+  static float box_dist2(const BVHNode& n, const Vec3& p) {
+    float dx = std::max({n.bmin.x - p.x, 0.0f, p.x - n.bmax.x});
+    float dy = std::max({n.bmin.y - p.y, 0.0f, p.y - n.bmax.y});
+    float dz = std::max({n.bmin.z - p.z, 0.0f, p.z - n.bmax.z});
+    return dx * dx + dy * dy + dz * dz;
+  }
+
+  static float tri_dist2(const Tri& t, const Vec3& p) {
+    // Ericson's point-triangle
+    Vec3 ab = t.b - t.a, ac = t.c - t.a, ap = p - t.a;
+    float d1 = ab.dot(ap), d2 = ac.dot(ap);
+    if (d1 <= 0 && d2 <= 0) return (p - t.a).norm2();
+    Vec3 bp = p - t.b;
+    float d3 = ab.dot(bp), d4 = ac.dot(bp);
+    if (d3 >= 0 && d4 <= d3) return (p - t.b).norm2();
+    float vc = d1 * d4 - d3 * d2;
+    if (vc <= 0 && d1 >= 0 && d3 <= 0) {
+      float v = d1 / (d1 - d3);
+      return (p - (t.a + ab * v)).norm2();
+    }
+    Vec3 cp = p - t.c;
+    float d5 = ab.dot(cp), d6 = ac.dot(cp);
+    if (d6 >= 0 && d5 <= d6) return (p - t.c).norm2();
+    float vb = d5 * d2 - d1 * d6;
+    if (vb <= 0 && d2 >= 0 && d6 <= 0) {
+      float w = d2 / (d2 - d6);
+      return (p - (t.a + ac * w)).norm2();
+    }
+    float va = d3 * d6 - d5 * d4;
+    if (va <= 0 && (d4 - d3) >= 0 && (d5 - d6) >= 0) {
+      float w = (d4 - d3) / ((d4 - d3) + (d5 - d6));
+      return (p - (t.b + (t.c - t.b) * w)).norm2();
+    }
+    float denom = 1.0f / (va + vb + vc);
+    float v = vb * denom, w = vc * denom;
+    return (p - (t.a + ab * v + ac * w)).norm2();
+  }
+
+  void nearest(int ni, const Vec3& p, float& best) const {
+    const BVHNode& n = nodes_[ni];
+    if (box_dist2(n, p) >= best) return;
+    if (n.left < 0) {
+      for (int i = n.start; i < n.start + (n.count ? n.count : 0); i++)
+        best = std::min(best, tri_dist2(tris_[order_[i]], p));
+      return;
+    }
+    float dl = box_dist2(nodes_[n.left], p);
+    float dr = box_dist2(nodes_[n.right], p);
+    if (dl < dr) { nearest(n.left, p, best); nearest(n.right, p, best); }
+    else { nearest(n.right, p, best); nearest(n.left, p, best); }
+  }
+
+  static double solid_angle(const Tri& t, const Vec3& p) {
+    Vec3 a = t.a - p, b = t.b - p, c = t.c - p;
+    double la = a.norm(), lb = b.norm(), lc = c.norm();
+    double num = a.dot(b.cross(c));
+    double den = la * lb * lc + a.dot(b) * lc + a.dot(c) * lb + b.dot(c) * la;
+    return 2.0 * std::atan2(num, den);
+  }
+
+  double winding(int ni, const Vec3& p) const {
+    const BVHNode& n = nodes_[ni];
+    Vec3 d = p - n.centroid;
+    float dist2 = d.norm2();
+    const float beta = 2.0f;
+    if (dist2 > beta * beta * n.radius * n.radius && n.radius > 0) {
+      // dipole approximation (Barill et al. 2018):
+      //   w(p) ≈ ñ·(c − p) / (4π‖c − p‖³),  ñ = Σ aᵢnᵢ
+      dsdf::Vec3 r = n.centroid - p;
+      double dist = std::sqrt((double)dist2);
+      return n.dipole_normal.dot(r) / (4.0 * M_PI * dist * dist * dist);
+    }
+    if (n.left < 0) {
+      double w = 0;
+      for (int i = n.start; i < n.start + n.count; i++)
+        w += solid_angle(tris_[order_[i]], p);
+      return w / (4.0 * M_PI);
+    }
+    return winding(n.left, p) + winding(n.right, p);
+  }
+};
+
+}  // namespace dsdf
+
+// ------------------------------------------------------------ C API
+
+extern "C" {
+
+void* dsdf_load_mesh(const char* path) {
+  auto mesh = std::make_unique<dsdf::Mesh>();
+  if (!dsdf::load_mesh(path, *mesh)) return nullptr;
+  return mesh.release();
+}
+
+void* dsdf_load_mesh_arrays(const float* verts, int n_verts, const int* faces,
+                            int n_faces) {
+  auto mesh = std::make_unique<dsdf::Mesh>();
+  mesh->vertices.resize(n_verts);
+  for (int i = 0; i < n_verts; i++)
+    mesh->vertices[i] = {verts[3 * i], verts[3 * i + 1], verts[3 * i + 2]};
+  mesh->faces.resize(n_faces);
+  for (int i = 0; i < n_faces; i++)
+    mesh->faces[i] = {{(uint32_t)faces[3 * i], (uint32_t)faces[3 * i + 1],
+                       (uint32_t)faces[3 * i + 2]}};
+  return mesh.release();
+}
+
+void dsdf_free_mesh(void* handle) { delete (dsdf::Mesh*)handle; }
+
+int dsdf_num_vertices(void* handle) {
+  return (int)((dsdf::Mesh*)handle)->vertices.size();
+}
+int dsdf_num_faces(void* handle) {
+  return (int)((dsdf::Mesh*)handle)->faces.size();
+}
+
+// unit-sphere normalization with buffer (ref Utils.cpp
+// BoundingCubeNormalization, buffer 1.03): offset = −bbox center,
+// scale = 1/(buffer·max‖v+offset‖). Mutates the mesh; outputs params.
+void dsdf_normalize(void* handle, float buffer, float* out_offset,
+                    float* out_scale) {
+  auto* mesh = (dsdf::Mesh*)handle;
+  dsdf::Vec3 lo{1e30f, 1e30f, 1e30f}, hi{-1e30f, -1e30f, -1e30f};
+  for (auto& v : mesh->vertices) {
+    lo = {std::min(lo.x, v.x), std::min(lo.y, v.y), std::min(lo.z, v.z)};
+    hi = {std::max(hi.x, v.x), std::max(hi.y, v.y), std::max(hi.z, v.z)};
+  }
+  dsdf::Vec3 center = (lo + hi) * 0.5f;
+  float max_dist = 0;
+  for (auto& v : mesh->vertices)
+    max_dist = std::max(max_dist, (v - center).norm());
+  float scale = 1.0f / (buffer * std::max(max_dist, 1e-12f));
+  for (auto& v : mesh->vertices) v = (v - center) * scale;
+  out_offset[0] = -center.x;
+  out_offset[1] = -center.y;
+  out_offset[2] = -center.z;
+  *out_scale = scale;
+}
+
+// exact signed distances for n query points (BVH + fast winding)
+void dsdf_signed_distance(void* handle, const float* queries, int n,
+                          float* out) {
+  dsdf::MeshAccel accel(*(dsdf::Mesh*)handle);
+  for (int i = 0; i < n; i++) {
+    dsdf::Vec3 p{queries[3 * i], queries[3 * i + 1], queries[3 * i + 2]};
+    out[i] = accel.signed_distance(p);
+  }
+}
+
+// area-weighted surface sampling (ref Utils.cpp SampleFromSurface)
+void dsdf_sample_surface(void* handle, int n, uint64_t seed, float* out_pts) {
+  auto* mesh = (dsdf::Mesh*)handle;
+  std::mt19937_64 rng(seed);
+  std::uniform_real_distribution<float> uni(0.0f, 1.0f);
+  std::vector<double> cdf;
+  cdf.reserve(mesh->faces.size());
+  double total = 0;
+  for (auto& f : mesh->faces) {
+    dsdf::Vec3 a = mesh->vertices[f[0]], b = mesh->vertices[f[1]],
+               c = mesh->vertices[f[2]];
+    total += 0.5 * (b - a).cross(c - a).norm();
+    cdf.push_back(total);
+  }
+  std::uniform_real_distribution<double> pick(0.0, total);
+  for (int i = 0; i < n; i++) {
+    size_t t = std::lower_bound(cdf.begin(), cdf.end(), pick(rng)) - cdf.begin();
+    auto& f = mesh->faces[std::min(t, mesh->faces.size() - 1)];
+    dsdf::Vec3 a = mesh->vertices[f[0]], b = mesh->vertices[f[1]],
+               c = mesh->vertices[f[2]];
+    float r1 = uni(rng), r2 = uni(rng);
+    float s1 = std::sqrt(r1);
+    dsdf::Vec3 p = a * (1 - s1) + b * (s1 * (1 - r2)) + c * (s1 * r2);
+    out_pts[3 * i] = p.x;
+    out_pts[3 * i + 1] = p.y;
+    out_pts[3 * i + 2] = p.z;
+  }
+}
+
+// full SDF sampling recipe (ref PreprocessMesh.cpp main + SampleSDFNearSurface):
+// near_ratio of samples near the surface (two Gaussian shells, var and
+// var/10), the rest uniform in [-cube/2, cube/2]^3. Returns count written.
+int dsdf_sample_sdf(void* handle, int num_sample, float variance,
+                    float near_ratio, float cube_dim, uint64_t seed,
+                    float* out_xyz, float* out_sdf) {
+  auto* mesh = (dsdf::Mesh*)handle;
+  dsdf::MeshAccel accel(*mesh);
+  std::mt19937_64 rng(seed);
+  std::normal_distribution<float> g1(0.0f, std::sqrt(variance));
+  std::normal_distribution<float> g2(0.0f, std::sqrt(variance / 10.0f));
+  std::uniform_real_distribution<float> uni(-cube_dim / 2, cube_dim / 2);
+
+  int n_near = (int)(num_sample * near_ratio);
+  int n_surf = n_near / 2;
+  n_near = n_surf * 2;
+  int n_rand = num_sample - n_near;
+
+  std::vector<float> surf(3 * (size_t)n_surf);
+  dsdf_sample_surface(handle, n_surf, seed ^ 0x9E3779B97F4A7C15ull, surf.data());
+
+  int k = 0;
+  for (int i = 0; i < n_surf; i++) {
+    dsdf::Vec3 p{surf[3 * i], surf[3 * i + 1], surf[3 * i + 2]};
+    dsdf::Vec3 s1 = {p.x + g1(rng), p.y + g1(rng), p.z + g1(rng)};
+    dsdf::Vec3 s2 = {p.x + g2(rng), p.y + g2(rng), p.z + g2(rng)};
+    for (const dsdf::Vec3* s : {&s1, &s2}) {
+      out_xyz[3 * k] = s->x;
+      out_xyz[3 * k + 1] = s->y;
+      out_xyz[3 * k + 2] = s->z;
+      k++;
+    }
+  }
+  for (int i = 0; i < n_rand; i++) {
+    out_xyz[3 * k] = uni(rng);
+    out_xyz[3 * k + 1] = uni(rng);
+    out_xyz[3 * k + 2] = uni(rng);
+    k++;
+  }
+  for (int i = 0; i < k; i++) {
+    dsdf::Vec3 p{out_xyz[3 * i], out_xyz[3 * i + 1], out_xyz[3 * i + 2]};
+    out_sdf[i] = accel.signed_distance(p);
+  }
+  return k;
+}
+
+// npz writer: pos/neg (n,4) float arrays, keys "pos"/"neg" (ref
+// writeSDFToNPZ wrote pos.npy/neg.npy; the loader accepts both)
+int dsdf_write_sdf_npz(const char* path, const float* pos, int n_pos,
+                       const float* neg, int n_neg, int legacy_keys) {
+  std::vector<dsdf::ZipEntry> entries;
+  const char* kp = legacy_keys ? "pos.npy" : "pos.npy";
+  (void)kp;
+  entries.push_back({"pos.npy", dsdf::npy_bytes(pos, n_pos, 4)});
+  entries.push_back({"neg.npy", dsdf::npy_bytes(neg, n_neg, 4)});
+  return dsdf::write_zip_stored(path, entries) ? 0 : 1;
+}
+
+int dsdf_write_normalization_npz(const char* path, const float* offset,
+                                 float scale) {
+  std::vector<dsdf::ZipEntry> entries;
+  entries.push_back({"offset.npy", dsdf::npy_bytes(offset, 3, 1)});
+  entries.push_back({"scale.npy", dsdf::npy_bytes(&scale, 1, 1)});
+  return dsdf::write_zip_stored(path, entries) ? 0 : 1;
+}
+
+}  // extern "C"
