@@ -42,14 +42,15 @@ def grid_coords(N, voxel_origin=(-1.0, -1.0, -1.0), voxel_size=None):
     return coords
 
 
-@partial(jax.jit, static_argnames=("config", "chunk"))
+@partial(jax.jit, static_argnames=("config", "chunk", "fused"))
 def eval_sdf_grid(config: DecoderConfig, params, latent_vec: jax.Array,
-                  coords: jax.Array, chunk: int = 32768) -> jax.Array:
+                  coords: jax.Array, chunk: int = 32768,
+                  fused: bool = False) -> jax.Array:
     """Evaluate decoder([latent ‖ xyz]) over (M,3) coords → (M,) SDF.
 
     ``latent_vec``: (L,) broadcast over all points, or (M, L) per-point
-    latent field (microstructure path), or None-like empty for
-    pre-concatenated coords.
+    latent field (microstructure path). ``fused`` uses the Pallas
+    fused MLP kernel (TPU; supported architectures) inside each chunk.
     """
     M = coords.shape[0]
     pad = (-M) % chunk
@@ -60,10 +61,18 @@ def eval_sdf_grid(config: DecoderConfig, params, latent_vec: jax.Array,
         lat_p = jnp.pad(latent_vec, ((0, pad), (0, 0)))
     n_chunks = coords_p.shape[0] // chunk
 
-    def body(args):
-        lat_c, xyz_c = args
-        inputs = jnp.concatenate([lat_c, xyz_c], axis=1)
-        return decoder_forward(config, params, inputs)[:, 0]
+    if fused:
+        from ..ops.fused_mlp import fused_decoder_forward
+
+        def body(args):
+            lat_c, xyz_c = args
+            inputs = jnp.concatenate([lat_c, xyz_c], axis=1)
+            return fused_decoder_forward(config, params, inputs)[:, 0]
+    else:
+        def body(args):
+            lat_c, xyz_c = args
+            inputs = jnp.concatenate([lat_c, xyz_c], axis=1)
+            return decoder_forward(config, params, inputs)[:, 0]
 
     out = jax.lax.map(body, (
         lat_p.reshape(n_chunks, chunk, -1),
