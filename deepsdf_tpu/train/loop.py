@@ -29,13 +29,30 @@ from ..data.dataset import load_device_pools, epoch_scene_batches
 from ..networks.decoder import DecoderConfig, init_decoder_params
 from . import checkpoint as ckpt
 from .schedules import get_learning_rate_schedules
-from .step import TrainConfig, TrainState, init_train_state, train_step
+from .step import TrainConfig, TrainState, init_train_state, train_epoch, train_step, train_step_batch
 
 logger = logging.getLogger(__name__)
 
 
 def get_mean_latent_vector_magnitude(latents) -> float:
     return float(jnp.mean(jnp.linalg.norm(latents, axis=1)))
+
+
+def _param_names(params: Any) -> list[str]:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    return [".".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+            for path, _ in flat]
+
+
+@jax.jit
+def _epoch_metrics(state: TrainState, losses: jax.Array) -> jax.Array:
+    """Pack [losses..., lat_mag, param_norms...] into ONE device array so
+    the host needs a single transfer per epoch (ref logged these with
+    many separate .item() syncs, train_deep_sdf.py:539-565)."""
+    lat_mag = jnp.mean(jnp.linalg.norm(state.latents, axis=1))
+    norms = jnp.stack([jnp.linalg.norm(leaf)
+                       for leaf in jax.tree_util.tree_leaves(state.params)])
+    return jnp.concatenate([losses.reshape(-1), lat_mag[None], norms])
 
 
 def append_parameter_magnitudes(param_mag_log: dict, params: Any) -> None:
@@ -48,7 +65,8 @@ def append_parameter_magnitudes(param_mag_log: dict, params: Any) -> None:
 
 def main_function(experiment_directory: str, continue_from: str | None = None,
                   batch_split: int = 1, seed: int = 0,
-                  num_epochs_override: int | None = None) -> TrainState:
+                  num_epochs_override: int | None = None,
+                  fused: bool = False) -> TrainState:
     specs = ws.load_experiment_specifications(experiment_directory)
     logger.info("Experiment description: \n%s", specs.get("Description", ""))
 
@@ -56,7 +74,12 @@ def main_function(experiment_directory: str, continue_from: str | None = None,
     with open(specs["TrainSplit"]) as f:
         train_split = json.load(f)
 
-    cfg = TrainConfig.from_specs(specs, batch_split=batch_split)
+    cfg = TrainConfig.from_specs(specs, batch_split=batch_split, fused=fused)
+    if fused:
+        from ..ops.fused_mlp import supports_fused
+        if not supports_fused(cfg.decoder):
+            logger.warning("architecture unsupported by the fused kernel; using XLA path")
+            cfg = dataclasses.replace(cfg, fused=False)
     latent_size = specs["CodeLength"]
     num_epochs = num_epochs_override or specs["NumEpochs"]
     log_frequency = specs.get("LogFrequency", 10)
@@ -69,10 +92,21 @@ def main_function(experiment_directory: str, continue_from: str | None = None,
 
     lr_schedules = get_learning_rate_schedules(specs)
 
-    # --- data: staged to device once (ref used DataLoader workers per step) ---
-    pools = load_device_pools(data_source, train_split, cfg.decoder.geom_dimension)
-    num_scenes = pools.num_scenes
-    logger.info("There are %d scenes", num_scenes)
+    # --- data: device-resident pools (default) or streaming host loader
+    # for datasets beyond HBM ("DataLoaderMode": "stream" in specs) ---
+    data_mode = specs.get("DataLoaderMode", "device")
+    if data_mode == "stream":
+        from ..data.streaming import StreamingSDFLoader
+        loader = StreamingSDFLoader(
+            data_source, train_split, cfg.samples_per_scene,
+            cfg.decoder.geom_dimension, cfg.scenes_per_batch,
+            num_workers=specs.get("DataLoaderThreads", 2), seed=seed)
+        pools = None
+        num_scenes = loader.num_scenes
+    else:
+        pools = load_device_pools(data_source, train_split, cfg.decoder.geom_dimension)
+        num_scenes = pools.num_scenes
+    logger.info("There are %d scenes (%s mode)", num_scenes, data_mode)
 
     # --- init model + latent table (ref :385-390) ---
     root_key = jax.random.PRNGKey(seed)
@@ -151,14 +185,28 @@ def main_function(experiment_directory: str, continue_from: str | None = None,
             lr1 = lr_schedules[1].get_learning_rate(epoch)
 
             losses = []
-            for batch_idx, scene_batch in enumerate(
-                    epoch_scene_batches(num_scenes, cfg.scenes_per_batch, batch_rng)):
-                step_key = jax.random.fold_in(jax.random.fold_in(run_key, epoch), batch_idx)
-                state, batch_loss = train_step(
-                    state, pools, jnp.asarray(scene_batch, dtype=jnp.int32), step_key,
-                    jnp.float32(lr0), jnp.float32(lr1), jnp.float32(epoch), cfg,
+            if pools is not None:
+                # whole epoch = ONE device program (lax.scan over batches)
+                scene_batches = epoch_scene_batches(
+                    num_scenes, cfg.scenes_per_batch, batch_rng)
+                epoch_key = jax.random.fold_in(run_key, epoch)
+                state, losses_arr = train_epoch(
+                    state, pools, jnp.asarray(scene_batches, dtype=jnp.int32),
+                    epoch_key, jnp.float32(lr0), jnp.float32(lr1),
+                    jnp.float32(epoch), cfg,
                 )
-                losses.append(batch_loss)
+                packed = np.asarray(_epoch_metrics(state, losses_arr))
+                n_l = losses_arr.shape[0]
+                losses = list(packed[:n_l])
+                epoch_metrics = packed[n_l:]
+            else:
+                for batch_idx, (batch, scene_idx) in enumerate(loader.epoch_batches(epoch)):
+                    step_key = jax.random.fold_in(jax.random.fold_in(run_key, epoch), batch_idx)
+                    state, batch_loss = train_step_batch(
+                        state, jnp.asarray(batch), jnp.asarray(scene_idx), step_key,
+                        jnp.float32(lr0), jnp.float32(lr1), jnp.float32(epoch), cfg,
+                    )
+                    losses.append(batch_loss)
 
             # Block once per epoch for the loss values (steps ran async)
             losses = [float(l) for l in losses]
@@ -174,8 +222,13 @@ def main_function(experiment_directory: str, continue_from: str | None = None,
                         float(np.mean(losses)) if losses else float("nan"))
 
             lr_log.append([s.get_learning_rate(epoch) for s in lr_schedules])
-            lat_mag_log.append(get_mean_latent_vector_magnitude(state.latents))
-            append_parameter_magnitudes(param_mag_log, state.params)
+            if pools is not None:
+                lat_mag_log.append(float(epoch_metrics[0]))
+                for name, norm in zip(_param_names(state.params), epoch_metrics[1:]):
+                    param_mag_log.setdefault(name, []).append(float(norm))
+            else:
+                lat_mag_log.append(get_mean_latent_vector_magnitude(state.latents))
+                append_parameter_magnitudes(param_mag_log, state.params)
 
             if epoch in checkpoints:
                 save_checkpoints(epoch)

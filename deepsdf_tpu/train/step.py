@@ -135,15 +135,33 @@ def _loss_on_chunk(params, latents, cfg: TrainConfig, xyz, sdf_gt, point_scene_i
 def train_step(state: TrainState, pools: DevicePools, scene_indices: jax.Array,
                key: jax.Array, lr_params: jax.Array, lr_latents: jax.Array,
                epoch: jax.Array, cfg: TrainConfig):
-    """One optimizer step. Returns (new_state, batch_loss).
+    """One optimizer step with on-device balanced batch assembly.
+    Returns (new_state, batch_loss).
 
     ``scene_indices``: (ScenesPerBatch,) int32; ``epoch`` drives the
     100-epoch reg warmup (ref :526).
     """
     sample_key, drop_key = jax.random.split(key)
-
-    # --- on-device balanced batch assembly (replaces DataLoader workers) ---
     batch = sample_scenes(pools, scene_indices, sample_key, cfg.samples_per_scene)
+    return _train_core(state, batch, scene_indices, drop_key,
+                       lr_params, lr_latents, epoch, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_step_batch(state: TrainState, batch: jax.Array, scene_indices: jax.Array,
+                     key: jax.Array, lr_params: jax.Array, lr_latents: jax.Array,
+                     epoch: jax.Array, cfg: TrainConfig):
+    """One optimizer step on a host-assembled (B, P, geom+1) batch —
+    the streaming-loader path (data/streaming.py) for datasets larger
+    than HBM (ref DataLoader-worker role, train_deep_sdf.py:369-375)."""
+    _, drop_key = jax.random.split(key)
+    return _train_core(state, batch, scene_indices, drop_key,
+                       lr_params, lr_latents, epoch, cfg)
+
+
+def _train_core(state: TrainState, batch: jax.Array, scene_indices: jax.Array,
+                drop_key: jax.Array, lr_params: jax.Array, lr_latents: jax.Array,
+                epoch: jax.Array, cfg: TrainConfig):
     geom = cfg.decoder.geom_dimension
     n_per_scene = batch.shape[1]
     sdf_data = batch.reshape(-1, geom + 1)                     # (B*P, geom+1)
@@ -209,3 +227,29 @@ def train_step(state: TrainState, pools: DevicePools, scene_indices: jax.Array,
 
     new_state = TrainState(new_params, new_latents, new_opt_p, new_opt_l)
     return new_state, batch_loss
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def train_epoch(state: TrainState, pools: DevicePools, scene_batches: jax.Array,
+                epoch_key: jax.Array, lr_params: jax.Array, lr_latents: jax.Array,
+                epoch: jax.Array, cfg: TrainConfig):
+    """One full epoch as a single device program: ``lax.scan`` over the
+    shuffled scene batches (n_batches, ScenesPerBatch). One dispatch +
+    one loss read per epoch — essential when host↔device latency is
+    non-trivial, and the idiomatic XLA shape regardless.
+
+    Returns (new_state, losses (n_batches,)).
+    """
+
+    def body(carry, inp):
+        st = carry
+        scene_idx, key = inp
+        sample_key, drop_key = jax.random.split(key)
+        batch = sample_scenes(pools, scene_idx, sample_key, cfg.samples_per_scene)
+        st, loss = _train_core(st, batch, scene_idx, drop_key,
+                               lr_params, lr_latents, epoch, cfg)
+        return st, loss
+
+    keys = jax.random.split(epoch_key, scene_batches.shape[0])
+    state, losses = jax.lax.scan(body, state, (scene_batches, keys))
+    return state, losses

@@ -2,6 +2,11 @@
 """t-SNE / PCA analysis of trained latent codes
 (parity with ref evaluation_scripts/02_tSNE_plots.ipynb)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import os
 

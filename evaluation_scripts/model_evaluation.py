@@ -3,6 +3,11 @@
 evaluation_scripts/01_model_evaluation.ipynb): reconstruction losses of
 test-split latent inference + chamfer table + training-loss curve."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import os

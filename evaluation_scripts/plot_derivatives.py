@@ -5,6 +5,11 @@
 the differentiable extraction are compared against central differences
 with fixed topology and plotted as scatter + error histogram)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import os
 

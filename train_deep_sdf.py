@@ -24,8 +24,10 @@ if __name__ == "__main__":
              "processed separately, with gradients accumulated across all "
              "subbatches (lax.scan microbatching on TPU).")
     arg_parser.add_argument("--seed", type=int, default=0)
+    arg_parser.add_argument("--fused", action="store_true",
+                            help="use the Pallas fused MLP kernel (TPU)")
     deepsdf_tpu.utils.add_common_args(arg_parser)
     args = arg_parser.parse_args()
     deepsdf_tpu.utils.configure_logging(args)
     main_function(args.experiment_directory, args.continue_from,
-                  int(args.batch_split), seed=args.seed)
+                  int(args.batch_split), seed=args.seed, fused=args.fused)
