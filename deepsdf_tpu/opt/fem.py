@@ -166,7 +166,7 @@ def _grad_shape_np(verts, tets):
 
 def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter):
     from scipy.sparse import coo_matrix
-    from scipy.sparse.linalg import cg, spsolve
+    from scipy.sparse.linalg import cg
 
     V = len(verts)
     gN, vol = _grad_shape_np(verts, tets)

@@ -15,7 +15,6 @@ import logging
 import math
 import os
 import signal
-import sys
 import time
 from typing import Any
 
@@ -26,7 +25,7 @@ import jax.numpy as jnp
 
 from .. import workspace as ws
 from ..data.dataset import load_device_pools, epoch_scene_batches
-from ..networks.decoder import DecoderConfig, init_decoder_params
+from ..networks.decoder import init_decoder_params
 from . import checkpoint as ckpt
 from .schedules import get_learning_rate_schedules
 from .step import TrainConfig, TrainState, init_train_state, train_epoch, train_step, train_step_batch
