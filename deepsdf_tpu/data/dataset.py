@@ -193,10 +193,13 @@ def sample_scenes(pools: DevicePools, scene_indices: jax.Array, key: jax.Array,
                   subsample: int) -> jax.Array:
     """Draw a balanced subsample for each scene in the batch, on device.
 
-    Returns (B, subsample, geom+1). Mirrors the deficit-rebalancing of
-    ref data.py:83-91 with static shapes: slot j takes from the pos
-    pool iff j < pos_len (a traced per-scene scalar), where
-    pos_len+neg_len == 2*(subsample//2).
+    Returns (B, 2*(subsample//2), geom+1) — the same row count the
+    reference yields (ref data.py:83-105). Mirrors its deficit
+    rebalancing with static shapes: slot j takes from the pos pool iff
+    j < pos_len (a traced per-scene scalar), where
+    pos_len+neg_len == 2*(subsample//2). Draws are with replacement
+    (pools ≫ subsample in practice); ``unpack_sdf_samples`` is the
+    exact without-replacement host path.
     """
     half = subsample // 2
     target = 2 * half
