@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..data.dataset import DevicePools, sample_scenes
+from ..data.dataset import DevicePools, sample_scenes_auto
 from ..networks.decoder import DecoderConfig, decoder_forward
 
 
@@ -142,7 +142,7 @@ def train_step(state: TrainState, pools: DevicePools, scene_indices: jax.Array,
     100-epoch reg warmup (ref :526).
     """
     sample_key, drop_key = jax.random.split(key)
-    batch = sample_scenes(pools, scene_indices, sample_key, cfg.samples_per_scene)
+    batch = sample_scenes_auto(pools, scene_indices, sample_key, cfg.samples_per_scene)
     return _train_core(state, batch, scene_indices, drop_key,
                        lr_params, lr_latents, epoch, cfg)
 
@@ -245,7 +245,7 @@ def train_epoch(state: TrainState, pools: DevicePools, scene_batches: jax.Array,
         st = carry
         scene_idx, key = inp
         sample_key, drop_key = jax.random.split(key)
-        batch = sample_scenes(pools, scene_idx, sample_key, cfg.samples_per_scene)
+        batch = sample_scenes_auto(pools, scene_idx, sample_key, cfg.samples_per_scene)
         st, loss = _train_core(st, batch, scene_idx, drop_key,
                                lr_params, lr_latents, epoch, cfg)
         return st, loss
