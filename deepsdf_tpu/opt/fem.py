@@ -55,9 +55,11 @@ class ElasticitySolver:
     """API in the spirit of ref LinearElasticitySolver (:268-330)."""
 
     def __init__(self, vertices, tets, lam: float, mu: float):
-        self.vertices = jnp.asarray(vertices, dtype=jnp.float64
-                                    if jax.config.read("jax_enable_x64") else jnp.float32)
-        self.tets = jnp.asarray(tets, dtype=jnp.int32)
+        # host-resident by default: the optimization outer loop runs FEM on
+        # CPU (like the reference); arrays move to device only in the
+        # method='jax' solve path
+        self.vertices = np.asarray(vertices, dtype=np.float64)
+        self.tets = np.asarray(tets, dtype=np.int32)
         self.lam = float(lam)
         self.mu = float(mu)
         self.ess_mask = None       # (V,) bool — essential (fixed) vertices
@@ -67,7 +69,7 @@ class ElasticitySolver:
     # ---- boundary conditions ----
 
     def set_essential_vertices(self, vert_mask):
-        self.ess_mask = jnp.asarray(vert_mask, dtype=bool)
+        self.ess_mask = np.asarray(vert_mask, dtype=bool)
 
     def set_surface_load(self, faces, load):
         """Lumped consistent load: each marked boundary face spreads
@@ -83,7 +85,7 @@ class ElasticitySolver:
             contrib = (area[:, None] / 3.0) * np.asarray(load)[None, :]
             for k in range(3):
                 np.add.at(f, faces[:, k], contrib)
-        self.force = jnp.asarray(f, dtype=self.vertices.dtype)
+        self.force = f
 
     # ---- solve ----
 
@@ -93,21 +95,27 @@ class ElasticitySolver:
         reference's FEM also runs host-side, ref :317-326); ``'jax'``:
         matrix-free block-Jacobi CG on the accelerator."""
         if method == "jax":
-            self.u = solve_elasticity(
-                self.vertices, self.tets, self.lam, self.mu,
-                self.force, self.ess_mask, rel_tol, max_iter)
+            self.u = np.asarray(solve_elasticity(
+                jnp.asarray(self.vertices, jnp.float32),
+                jnp.asarray(self.tets), self.lam, self.mu,
+                jnp.asarray(self.force, jnp.float32),
+                jnp.asarray(self.ess_mask), rel_tol, max_iter), np.float64)
         else:
-            self.u = jnp.asarray(_solve_scipy(
-                np.asarray(self.vertices, np.float64), np.asarray(self.tets),
-                self.lam, self.mu, np.asarray(self.force, np.float64),
-                np.asarray(self.ess_mask), rel_tol, max_iter),
-                dtype=self.vertices.dtype)
+            self.u = _solve_scipy(self.vertices, self.tets, self.lam, self.mu,
+                                  self.force, self.ess_mask, rel_tol, max_iter)
         return self.u
 
     # ---- outputs ----
 
     def strain_energy_density_elements(self):
-        return strain_energy_density(self.vertices, self.tets, self.lam, self.mu, self.u)
+        """Host (numpy) SED per element + |volumes|."""
+        gN, vol = _grad_shape_np(self.vertices, self.tets)
+        grad = np.einsum("tai,taj->tij", self.u[self.tets], gN)
+        div = np.trace(grad, axis1=1, axis2=2)
+        sed = (self.lam * div ** 2
+               + self.mu * np.einsum("tij,tij->t", grad,
+                                     grad + np.swapaxes(grad, 1, 2)))
+        return sed, np.abs(vol)
 
     def vertex_sed(self):
         """Volume-weighted nodal projection of the elementwise SED
@@ -125,11 +133,11 @@ class ElasticitySolver:
     def compliance(self) -> float:
         """∫ SED = a(u,u) = f·u (ref clcTotCompliance :371-385)."""
         sed, vol = self.strain_energy_density_elements()
-        return float(jnp.sum(sed * vol))
+        return float(np.sum(sed * vol))
 
     def volume(self) -> float:
-        _, vol = _grad_shape(self.vertices, self.tets)
-        return float(jnp.sum(jnp.abs(vol)))
+        _, vol = _grad_shape_np(self.vertices, self.tets)
+        return float(np.sum(np.abs(vol)))
 
     def boundary_normal_integral(self, faces, vertex_vec) -> float:
         """∫_Γ v·n over marked faces with P1 vector field v
