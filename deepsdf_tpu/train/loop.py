@@ -216,9 +216,12 @@ def main_function(experiment_directory: str, continue_from: str | None = None,
             tot_time = time.time() - start_train + 1e-9
             avg = tot_time / max(epoch - start_epoch + 1, 1)
             eta = str(datetime.timedelta(seconds=round(avg * (num_epochs - epoch))))
-            logger.info("Finished %d (%d/%d) [%.2f%%] in %s (%.2fs/epoch) loss %.5f",
-                        epoch, epoch, num_epochs, epoch / num_epochs * 100, eta, avg,
-                        float(np.mean(losses)) if losses else float("nan"))
+            sps = (len(losses) * cfg.scenes_per_batch
+                   * (2 * (cfg.samples_per_scene // 2)) / max(seconds_elapsed, 1e-9))
+            logger.info(
+                "Finished %d (%d/%d) [%.2f%%] in %s (%.2fs/epoch, %.2fM samples/s) loss %.5f",
+                epoch, epoch, num_epochs, epoch / num_epochs * 100, eta, avg,
+                sps / 1e6, float(np.mean(losses)) if losses else float("nan"))
 
             lr_log.append([s.get_learning_rate(epoch) for s in lr_schedules])
             if pools is not None:
