@@ -62,11 +62,13 @@ class FusedMLPSpec:
     dropout_prob: float
     use_tanh: bool                # pre-final tanh (ref :94-95)
     tile: int = 512
-    bwd_tile: int = 128           # bwd streams dz+acts blocks (double-buffered)
+    bwd_tile: int = 256           # bwd tile (VMEM: weights + dW accumulators + acts)
+    bwd_impl: str = "split"       # "split": two kernels, dW in VMEM accumulators
+                                  # "stream": dz/acts to HBM + XLA GEMMs
 
     @classmethod
     def plan(cls, config: DecoderConfig, tile: int = 512,
-             bwd_tile: int = 128) -> "FusedMLPSpec":
+             bwd_tile: int = 256, bwd_impl: str = "split") -> "FusedMLPSpec":
         dims = config.all_dims
         hidden = set(dims[1:-1])
         if len(hidden) != 1:
@@ -88,7 +90,7 @@ class FusedMLPSpec:
             n_linear=n_linear, width=width, p_in=p_in, in_dim=dims[0],
             has_b=has_b, dropout_layers=dropout_layers,
             dropout_prob=config.dropout_prob, use_tanh=config.use_tanh, tile=tile,
-            bwd_tile=bwd_tile,
+            bwd_tile=bwd_tile, bwd_impl=bwd_impl,
         )
 
 
@@ -297,6 +299,12 @@ def _fused_fwd_rule(spec, training, x, A, B, bias, seed):
 
 
 def _fused_bwd_rule(spec, training, residuals, g):
+    if spec.bwd_impl == "split" and spec.n_linear >= 3:
+        return _fused_bwd_split(spec, training, residuals, g)
+    return _fused_bwd_stream(spec, training, residuals, g)
+
+
+def _fused_bwd_stream(spec, training, residuals, g):
     x, A, B, bias, seed = residuals
     tile = _fwd_tile(spec, training) if (training and spec.dropout_layers) \
         else spec.bwd_tile
@@ -349,6 +357,242 @@ def _fused_bwd_rule(spec, training, residuals, g):
     dB = jnp.stack(dB_rows, axis=0)
     dbias = jnp.sum(dz.astype(jnp.float32), axis=1)
 
+    dx_real = dx[:N, :x.shape[1]].astype(x.dtype)
+    return dx_real, dA.astype(A.dtype), dB.astype(B.dtype), dbias, None
+
+
+def _split_point(n: int) -> int:
+    return max(2, n // 2 + 1)
+
+
+def _recompute_to(spec, training, x, A_ref, B_ref, bias_ref, last_layer: int):
+    """Fwd chain through linear ``last_layer`` (exclusive of its act),
+    returning (acts list a_0..a_{last_layer-1}, z_last)."""
+    inv_keep = 1.0 / (1.0 - spec.dropout_prob) if spec.dropout_layers else 1.0
+    acts = []
+    h = None
+    for l in range(last_layer + 1):
+        z = bias_ref[l][None, :].astype(jnp.float32)
+        if l > 0:
+            z = z + jnp.dot(h, A_ref[l], preferred_element_type=jnp.float32)
+        if spec.has_b[l]:
+            z = z + jnp.dot(x, B_ref[l], preferred_element_type=jnp.float32)
+        if l == last_layer:
+            return acts, z
+        a = jnp.maximum(z, 0.0)
+        if training and l in spec.dropout_layers:
+            bits = pltpu.prng_random_bits(a.shape)
+            thresh = np.uint32(int((1.0 - spec.dropout_prob) * 2 ** 32))
+            keep = pltpu.bitcast(bits, jnp.uint32) < thresh
+            a = jnp.where(keep, a * inv_keep, 0.0)
+        h = a.astype(jnp.bfloat16)
+        acts.append(h)
+    raise AssertionError("unreachable")
+
+
+def _accumulate_layer(spec, training, l, dz, x, acts, A_ref, dA_refs, dB_refs,
+                      db_refs, B_ref, dx):
+    """Shared per-layer bwd bookkeeping; d*_refs map layer → (ref, row).
+    Returns (dz_{l-1}, dx)."""
+    inv_keep = 1.0 / (1.0 - spec.dropout_prob) if spec.dropout_layers else 1.0
+    dz_b = dz.astype(jnp.bfloat16)
+    if l > 0 and l in dA_refs:
+        ref, row = dA_refs[l]
+        ref[row] += jax.lax.dot_general(
+            acts[l - 1], dz_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    if spec.has_b[l]:
+        if l in dB_refs:
+            ref, row = dB_refs[l]
+            ref[row] += jax.lax.dot_general(
+                x, dz_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dx = dx + jax.lax.dot_general(
+            dz_b, B_ref[l], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    if l in db_refs:
+        ref, row = db_refs[l]
+        ref[row] += jnp.sum(dz, axis=0)
+    if l == 0:
+        return None, dx
+    da = jax.lax.dot_general(
+        dz_b, A_ref[l], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    a_here = acts[l - 1].astype(jnp.float32)
+    scale = inv_keep if (training and (l - 1) in spec.dropout_layers) else 1.0
+    return jnp.where(a_here > 0, da * scale, 0.0), dx
+
+
+def _bwd_upper_kernel(spec, training, hi, b_layers_up,
+                      seed_ref, x_ref, A_ref, B_ref, bias_ref, g_ref,
+                      dzb_ref, dx_ref, dA_ref, dB_ref, db_ref):
+    """Linears hi..n-1: recompute fwd, backprop to dz_{hi-1} (written to
+    HBM), accumulate that range's dA/dB/db in VMEM accumulators."""
+    i = pl.program_id(0)
+    if training and spec.dropout_layers:
+        pltpu.prng_seed(seed_ref[0] + i)
+
+    @pl.when(i == 0)
+    def _zero():
+        dA_ref[...] = jnp.zeros(dA_ref.shape, dA_ref.dtype)
+        dB_ref[...] = jnp.zeros(dB_ref.shape, dB_ref.dtype)
+        db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+    n = spec.n_linear
+    x = x_ref[...]
+    acts, z_last = _recompute_to(spec, training, x, A_ref, B_ref, bias_ref, n - 1)
+
+    g = g_ref[...]
+    if spec.use_tanh:
+        w = jnp.tanh(z_last[:, :1])
+        y = jnp.tanh(w)
+        dz_col = g * (1.0 - y * y) * (1.0 - w * w)
+    else:
+        y = jnp.tanh(z_last[:, :1])
+        dz_col = g * (1.0 - y * y)
+    dz = jnp.concatenate(
+        [dz_col, jnp.zeros((dz_col.shape[0], spec.width - 1), jnp.float32)], axis=1)
+
+    dA_refs = {l: (dA_ref, l - hi) for l in range(hi, n)}
+    dB_refs = {l: (dB_ref, k) for k, l in enumerate(b_layers_up)}
+    db_refs = {l: (db_ref, l - hi) for l in range(hi, n)}
+    dx = jnp.zeros((x.shape[0], spec.p_in), jnp.float32)
+    for l in range(n - 1, hi - 1, -1):
+        dz, dx = _accumulate_layer(spec, training, l, dz, x, acts, A_ref,
+                                   dA_refs, dB_refs, db_refs, B_ref, dx)
+    dzb_ref[...] = dz.astype(jnp.bfloat16)   # dz_{hi-1}, already masked
+    if dx_ref is not None:
+        dx_ref[...] = dx
+
+
+def _bwd_lower_kernel(spec, training, hi, b_layers_lo,
+                      seed_ref, x_ref, A_ref, B_ref, bias_ref, dzb_ref,
+                      dx_ref, dA_ref, dB_ref, db_ref):
+    """Linears 0..hi-1: recompute fwd to a_{hi-2}, consume dz_{hi-1}."""
+    i = pl.program_id(0)
+    if training and spec.dropout_layers:
+        pltpu.prng_seed(seed_ref[0] + i)
+
+    @pl.when(i == 0)
+    def _zero():
+        dA_ref[...] = jnp.zeros(dA_ref.shape, dA_ref.dtype)
+        dB_ref[...] = jnp.zeros(dB_ref.shape, dB_ref.dtype)
+        db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+    x = x_ref[...]
+    # recompute acts a_0..a_{hi-2} (stop before linear hi-1's output act)
+    acts, _ = _recompute_to(spec, training, x, A_ref, B_ref, bias_ref, hi - 1)
+
+    dz = dzb_ref[...].astype(jnp.float32)
+    dA_refs = {l: (dA_ref, l - 1) for l in range(1, hi)}
+    dB_refs = {l: (dB_ref, k) for k, l in enumerate(b_layers_lo)}
+    db_refs = {l: (db_ref, l) for l in range(hi)}
+    dx = jnp.zeros((x.shape[0], spec.p_in), jnp.float32)
+    for l in range(hi - 1, -1, -1):
+        dz, dx = _accumulate_layer(spec, training, l, dz, x, acts, A_ref,
+                                   dA_refs, dB_refs, db_refs, B_ref, dx)
+    dx_ref[...] = dx
+
+
+def _fused_bwd_split(spec, training, residuals, g):
+    """Two-kernel backward: dW/db accumulate in VMEM across the grid —
+    no dz/activation streaming, no XLA GEMM pass. Layer range is split
+    so each kernel's f32 accumulators fit VMEM next to the weights."""
+    x, A, B, bias, seed = residuals
+    n, D, P = spec.n_linear, spec.width, spec.p_in
+    hi = _split_point(n)
+    b_layers_up = tuple(l for l in range(hi, n) if spec.has_b[l])
+    b_layers_lo = tuple(l for l in range(hi) if spec.has_b[l])
+
+    tile = spec.bwd_tile
+    xp, N = _pad_points(x.astype(jnp.bfloat16), spec, tile)
+    gp = jnp.pad(g.astype(jnp.float32), ((0, xp.shape[0] - N), (0, 0)))
+    n_tiles = xp.shape[0] // tile
+
+    weight_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((tile, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, D, D), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, P, D), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    acc = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                     memory_space=pltpu.VMEM)
+
+    # ---- upper ----
+    nb_up = max(len(b_layers_up), 1)
+    up_outs = [
+        pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        acc((n - hi, D, D)),
+        acc((nb_up, P, D)),
+        acc((n - hi, D)),
+    ]
+    up_shapes = [
+        jax.ShapeDtypeStruct((xp.shape[0], D), jnp.bfloat16),
+        jax.ShapeDtypeStruct((n - hi, D, D), jnp.float32),
+        jax.ShapeDtypeStruct((nb_up, P, D), jnp.float32),
+        jax.ShapeDtypeStruct((n - hi, D), jnp.float32),
+    ]
+    emit_dx_up = bool(b_layers_up)
+    if emit_dx_up:
+        up_outs.insert(1, pl.BlockSpec((tile, P), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM))
+        up_shapes.insert(1, jax.ShapeDtypeStruct((xp.shape[0], P), jnp.float32))
+
+    def upper(seed_ref, x_ref, A_ref, B_ref, bias_ref, g_ref, *outs):
+        if emit_dx_up:
+            dzb_ref, dx_ref, dA_ref, dB_ref, db_ref = outs
+        else:
+            dzb_ref, dA_ref, dB_ref, db_ref = outs
+            dx_ref = None
+        _bwd_upper_kernel(spec, training, hi, b_layers_up,
+                          seed_ref, x_ref, A_ref, B_ref, bias_ref, g_ref,
+                          dzb_ref, dx_ref, dA_ref, dB_ref, db_ref)
+
+    up_results = pl.pallas_call(
+        upper, grid=(n_tiles,),
+        in_specs=weight_specs + [
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=up_outs,
+        out_shape=up_shapes,
+    )(seed.reshape(1), xp, A, B, bias, gp)
+    if emit_dx_up:
+        dzb, dx_up, dA_up, dB_up, db_up = up_results
+    else:
+        dzb, dA_up, dB_up, db_up = up_results
+        dx_up = None
+
+    # ---- lower ----
+    nb_lo = max(len(b_layers_lo), 1)
+    lo_results = pl.pallas_call(
+        functools.partial(_bwd_lower_kernel, spec, training, hi, b_layers_lo),
+        grid=(n_tiles,),
+        in_specs=weight_specs + [
+            pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((tile, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            acc((hi - 1, D, D)),
+            acc((nb_lo, P, D)),
+            acc((hi, D)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((xp.shape[0], P), jnp.float32),
+            jax.ShapeDtypeStruct((hi - 1, D, D), jnp.float32),
+            jax.ShapeDtypeStruct((nb_lo, P, D), jnp.float32),
+            jax.ShapeDtypeStruct((hi, D), jnp.float32),
+        ],
+    )(seed.reshape(1), xp, A, B, bias, dzb)
+    dx_lo, dA_lo, dB_lo, db_lo = lo_results
+
+    # ---- assemble full-layer gradients ----
+    dA = jnp.concatenate([jnp.zeros((1, D, D), jnp.float32), dA_lo, dA_up], axis=0)
+    dB = jnp.zeros((n, P, D), jnp.float32)
+    for k, l in enumerate(b_layers_lo):
+        dB = dB.at[l].set(dB_lo[k])
+    for k, l in enumerate(b_layers_up):
+        dB = dB.at[l].set(dB_up[k])
+    dbias = jnp.concatenate([db_lo, db_up], axis=0)
+    dx = dx_lo if dx_up is None else dx_lo + dx_up
     dx_real = dx[:N, :x.shape[1]].astype(x.dtype)
     return dx_real, dA.astype(A.dtype), dB.astype(B.dtype), dbias, None
 
