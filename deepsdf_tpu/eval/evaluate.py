@@ -74,7 +74,8 @@ def evaluate(experiment_directory: str, checkpoint: str, data_source: str,
                 offset, scale = 0.0, 1.0
                 if os.path.isfile(norm_path):
                     npz = np.load(norm_path)
-                    offset, scale = npz["offset"], float(npz["scale"])
+                    offset = np.asarray(npz["offset"]).reshape(-1)
+                    scale = float(np.asarray(npz["scale"]).reshape(-1)[0])
 
                 ch = compute_chamfer(gt_points, gen_verts, gen_faces,
                                      offset=offset, scale=scale,

@@ -97,7 +97,6 @@ def marching_tetrahedra(volume: np.ndarray, level: float = 0.0,
 
     # --- active cells: any corner-sign disagreement ---
     occ = inside[:-1, :-1, :-1]
-    mix = occ.copy()
     same = np.ones_like(occ, dtype=bool)
     for (dx, dy, dz) in _CORNERS[1:]:
         c = inside[dx:nx - 1 + dx, dy:ny - 1 + dy, dz:nz - 1 + dz]

@@ -595,7 +595,7 @@ int dsdf_write_sdf_npz(const char* path, const float* pos, int n_pos,
 int dsdf_write_normalization_npz(const char* path, const float* offset,
                                  float scale) {
   std::vector<dsdf::ZipEntry> entries;
-  entries.push_back({"offset.npy", dsdf::npy_bytes(offset, 3, 1)});
+  entries.push_back({"offset.npy", dsdf::npy_bytes(offset, 1, 3)});
   entries.push_back({"scale.npy", dsdf::npy_bytes(&scale, 1, 1)});
   return dsdf::write_zip_stored(path, entries) ? 0 : 1;
 }
