@@ -36,6 +36,18 @@ def gen_round_cross(sampler, n_samples):
     sampler.write_json("round_cross_only.json", info, split)
 
 
+def _mesh_sdf(verts, faces):
+    """Prefer the native C++ BVH/winding sampler (fast, CPU-only);
+    fall back to the JAX winding SDF."""
+    try:
+        from deepsdf_tpu.native import NativeMesh
+
+        mesh = NativeMesh(vertices=verts, faces=faces)
+        return lambda q: mesh.signed_distance(q).reshape(-1, 1)
+    except Exception:
+        return SDFfromMesh(vertices=verts.astype(np.float32), faces=faces)
+
+
 def gen_snappy(sampler, n_samples, geometry_dir, resolution=20):
     """ref 08_facade_microtile_creation.py:19-34 (40 shapes, t∈[0,0.2])."""
     os.makedirs(geometry_dir, exist_ok=True)
@@ -44,7 +56,7 @@ def gen_snappy(sampler, n_samples, geometry_dir, resolution=20):
         verts, faces = Snappy3D().create_surface_mesh(
             parameters=np.array([[t]]), resolution=resolution)
         write_ply(str(pathlib.Path(geometry_dir) / f"snappy_{i}.ply"), verts, faces)
-        sdfs.append(SDFfromMesh(vertices=verts.astype(np.float32), faces=faces))
+        sdfs.append(_mesh_sdf(verts, faces))
     info = {"dataset_name": "microstructure", "class_name": "snappy3D"}
     split = sampler.sample_sdfs(sdfs, info, n_samples=n_samples)
     sampler.write_json("snappy3D.json", info, split)
