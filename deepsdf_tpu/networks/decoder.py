@@ -128,7 +128,10 @@ def init_decoder_params(key: jax.Array, config: DecoderConfig, dtype=jnp.float32
         in_dim = config.layer_in_dim(layer)
         out_dim = config.layer_out_dim(layer)
         key, wk, bk = jax.random.split(key, 3)
-        bound_w = math.sqrt(1.0 / in_dim) * math.sqrt(3.0)  # kaiming uniform, a=sqrt(5)
+        # torch kaiming_uniform_(a=√5): gain=√(2/6)=1/√3, std=1/√(3·fan_in),
+        # bound=√3·std = 1/√fan_in (NOT √(3/fan_in) — that extra √3 makes
+        # deep weight-normed stacks saturate the final tanh)
+        bound_w = math.sqrt(1.0 / in_dim)
         w = jax.random.uniform(wk, (in_dim, out_dim), dtype, -bound_w, bound_w)
         bound_b = 1.0 / math.sqrt(in_dim)
         b = jax.random.uniform(bk, (out_dim,), dtype, -bound_b, bound_b)

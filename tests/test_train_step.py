@@ -178,9 +178,9 @@ def test_train_step_runs_and_decreases_loss():
 
     losses = []
     scene_idx = jnp.arange(num_scenes, dtype=jnp.int32)
-    for i in range(60):
+    for i in range(150):
         state, loss = train_step(
             state, pools, scene_idx, jax.random.PRNGKey(i),
-            jnp.float32(5e-4), jnp.float32(1e-3), jnp.float32(i + 1), cfg)
+            jnp.float32(2e-3), jnp.float32(4e-3), jnp.float32(i + 1), cfg)
         losses.append(float(loss))
-    assert losses[-1] < 0.6 * losses[0], losses[::10]
+    assert np.mean(losses[-10:]) < 0.6 * np.mean(losses[:10]), losses[::30]
