@@ -149,9 +149,13 @@ def test_max_norm_renorm():
 
 def test_train_step_runs_and_decreases_loss():
     config = small_config()
+    # clamp band must exceed the last-layer bias init bound (1/sqrt(16)
+    # = 0.25 for this tiny net), else the clamp can zero all gradients at
+    # init — the same death mode the reference's torch.clamp has; real
+    # 512-wide configs start inside the band (bias bound 0.044 < 0.1)
     cfg = TrainConfig(
         decoder=config, samples_per_scene=64, scenes_per_batch=4,
-        clamp_dist=0.1, code_bound=1.0, grad_clip=1.0, batch_split=2,
+        clamp_dist=0.3, code_bound=1.0, grad_clip=1.0, batch_split=2,
     )
     rng = np.random.default_rng(1)
     num_scenes = 4
