@@ -19,6 +19,7 @@ import numpy as np
 
 from .. import workspace as ws
 from ..metrics.chamfer import compute_chamfer, sample_surface
+from ..metrics.emd import compute_emd
 from ..mesh.marching import marching_tetrahedra
 from ..mesh.ply import read_ply, write_ply
 
@@ -47,11 +48,15 @@ def write_surface_samples(data_source: str, dataset: str, class_name: str,
 
 
 def evaluate(experiment_directory: str, checkpoint: str, data_source: str,
-             split: dict, num_mesh_samples: int = 30000) -> dict[str, float]:
+             split: dict, num_mesh_samples: int = 30000,
+             with_emd: bool = False) -> dict[str, float]:
     """Chamfer per instance between Reconstructions/<ckpt>/Meshes and
     SurfaceSamples ground truth; writes Evaluation/<ckpt>/chamfer.json
-    (+ .csv like upstream)."""
+    (+ .csv like upstream). With ``with_emd``, also fills the
+    ``Evaluation/<ckpt>/emd`` slot the reference reserves but never
+    implemented (README.md:69) — Sinkhorn EMD on 2048-pt subsamples."""
     results: dict[str, float] = {}
+    emd_results: dict[str, float] = {}
     for dataset in split:
         for class_name in split[dataset]:
             for instance in split[dataset][class_name]:
@@ -82,6 +87,11 @@ def evaluate(experiment_directory: str, checkpoint: str, data_source: str,
                                      num_mesh_samples=num_mesh_samples)
                 results[f"{dataset}/{class_name}/{instance}"] = ch
                 logging.debug("chamfer %s: %g", instance, ch)
+                if with_emd:
+                    emd = compute_emd(gt_points, gen_verts, gen_faces,
+                                      offset=offset, scale=scale)
+                    emd_results[f"{dataset}/{class_name}/{instance}"] = emd
+                    logging.debug("emd %s: %g", instance, emd)
 
     out_dir = ws.get_evaluation_dir(experiment_directory, checkpoint, True)
     with open(os.path.join(out_dir, "chamfer.json"), "w") as f:
@@ -90,8 +100,17 @@ def evaluate(experiment_directory: str, checkpoint: str, data_source: str,
         f.write("shape, chamfer_dist\n")
         for k, v in results.items():
             f.write(f"{k}, {v}\n")
+    if with_emd:
+        emd_dir = os.path.join(out_dir, "emd")
+        os.makedirs(emd_dir, exist_ok=True)
+        with open(os.path.join(emd_dir, "emd.json"), "w") as f:
+            json.dump(emd_results, f, indent=2)
     if results:
         vals = np.asarray(list(results.values()))
         logger.info("chamfer mean %.6f median %.6f over %d shapes",
+                    vals.mean(), np.median(vals), len(vals))
+    if emd_results:
+        vals = np.asarray(list(emd_results.values()))
+        logger.info("emd mean %.6f median %.6f over %d shapes",
                     vals.mean(), np.median(vals), len(vals))
     return results

@@ -16,6 +16,9 @@ if __name__ == "__main__":
     p.add_argument("--checkpoint", "-c", dest="checkpoint", default="latest")
     p.add_argument("--data", "-d", dest="data_source", default=None)
     p.add_argument("--split", "-s", dest="split_filename", default=None)
+    p.add_argument("--emd", action="store_true",
+                   help="also compute Sinkhorn EMD (fills the reserved "
+                        "Evaluation/<ckpt>/emd slot)")
     deepsdf_tpu.utils.add_common_args(p)
     args = p.parse_args()
     deepsdf_tpu.utils.configure_logging(args)
@@ -25,4 +28,5 @@ if __name__ == "__main__":
     with open(split_file) as f:
         split = json.load(f)
     evaluate(args.experiment_directory, args.checkpoint,
-             args.data_source or specs["DataSource"], split)
+             args.data_source or specs["DataSource"], split,
+             with_emd=args.emd)
