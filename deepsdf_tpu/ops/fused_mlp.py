@@ -65,6 +65,11 @@ class FusedMLPSpec:
     bwd_tile: int = 256           # bwd tile (VMEM: weights + dW accumulators + acts)
     bwd_impl: str = "split"       # "split": two kernels, dW in VMEM accumulators
                                   # "stream": dz/acts to HBM + XLA GEMMs
+    input_hilo: bool = True       # split x into hi+lo bf16 halves for the B
+                                  # matmuls: recovers ~f32 input precision
+                                  # (bf16's 8 mantissa bits quantize coords to
+                                  # ~0.4% — the dominant kernel error term)
+                                  # for 2 extra small matmuls per has_b layer
 
     @classmethod
     def plan(cls, config: DecoderConfig, tile: int = 512,
@@ -132,6 +137,24 @@ def pack_params(config: DecoderConfig, params: Any, spec: FusedMLPSpec):
     return A.astype(jnp.bfloat16), B.astype(jnp.bfloat16), bias
 
 
+def _split_hilo(spec: FusedMLPSpec, x):
+    """Split an f32 x tile into (hi, lo) bf16 halves so hi+lo ≈ x to
+    ~16 mantissa bits; lo is None when the hilo path is off."""
+    if not spec.input_hilo:
+        return x, None
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x.astype(jnp.float32) - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return x_hi, x_lo
+
+
+def _dot_x(x_hi, x_lo, B):
+    """x @ B with the optional low-order correction matmul."""
+    z = jnp.dot(x_hi, B, preferred_element_type=jnp.float32)
+    if x_lo is not None:
+        z = z + jnp.dot(x_lo, B, preferred_element_type=jnp.float32)
+    return z
+
+
 def _forward_chain(spec: FusedMLPSpec, x, A_ref, B_ref, bias_ref, training: bool,
                    keep_activations: bool):
     """Shared fwd chain on one tile. Returns (pred_col (T,1) f32, acts)."""
@@ -139,12 +162,13 @@ def _forward_chain(spec: FusedMLPSpec, x, A_ref, B_ref, bias_ref, training: bool
     inv_keep = 1.0 / (1.0 - spec.dropout_prob) if spec.dropout_layers else 1.0
     acts = []
     h = None
+    x_hi, x_lo = _split_hilo(spec, x)
     for l in range(n):
         z = bias_ref[l][None, :].astype(jnp.float32)
         if l > 0:
             z = z + jnp.dot(h, A_ref[l], preferred_element_type=jnp.float32)
         if spec.has_b[l]:
-            z = z + jnp.dot(x, B_ref[l], preferred_element_type=jnp.float32)
+            z = z + _dot_x(x_hi, x_lo, B_ref[l])
         if l == n - 1:
             if spec.use_tanh:
                 z = jnp.tanh(z)
@@ -189,6 +213,7 @@ def _bwd_kernel(spec: FusedMLPSpec, training: bool,
     x = x_ref[...]
     n = spec.n_linear
     inv_keep = 1.0 / (1.0 - spec.dropout_prob) if spec.dropout_layers else 1.0
+    x_hi, x_lo = _split_hilo(spec, x)
 
     # --- recompute fwd, activations stay in VMEM ---
     acts = []  # h after layer l (bf16), l = 0..n-2
@@ -199,7 +224,7 @@ def _bwd_kernel(spec: FusedMLPSpec, training: bool,
         if l > 0:
             z = z + jnp.dot(h, A_ref[l], preferred_element_type=jnp.float32)
         if spec.has_b[l]:
-            z = z + jnp.dot(x, B_ref[l], preferred_element_type=jnp.float32)
+            z = z + _dot_x(x_hi, x_lo, B_ref[l])
         if l == n - 1:
             z_last = z
             break
@@ -268,9 +293,13 @@ def fused_mlp(spec: FusedMLPSpec, training: bool, x, A, B, bias, seed):
     return _fused_fwd_impl(spec, training, x, A, B, bias, seed)
 
 
+def _kernel_in_dtype(spec: FusedMLPSpec):
+    return jnp.float32 if spec.input_hilo else jnp.bfloat16
+
+
 def _fused_fwd_impl(spec, training, x, A, B, bias, seed):
     tile = _fwd_tile(spec, training)
-    xp, N = _pad_points(x.astype(jnp.bfloat16), spec, tile)
+    xp, N = _pad_points(x.astype(_kernel_in_dtype(spec)), spec, tile)
     n_tiles = xp.shape[0] // tile
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, spec, training),
@@ -308,7 +337,7 @@ def _fused_bwd_stream(spec, training, residuals, g):
     x, A, B, bias, seed = residuals
     tile = _fwd_tile(spec, training) if (training and spec.dropout_layers) \
         else spec.bwd_tile
-    xp, N = _pad_points(x.astype(jnp.bfloat16), spec, tile)
+    xp, N = _pad_points(x.astype(_kernel_in_dtype(spec)), spec, tile)
     gp = jnp.pad(g.astype(jnp.float32), ((0, xp.shape[0] - N), (0, 0)))
     n_tiles = xp.shape[0] // tile
     n, D, P = spec.n_linear, spec.width, spec.p_in
@@ -350,7 +379,7 @@ def _fused_bwd_stream(spec, training, residuals, g):
     for l in range(n):
         if spec.has_b[l]:
             dB_rows.append(jax.lax.dot_general(
-                xp, dz[l], (((0,), (0,)), ((), ())),
+                xp, dz[l].astype(xp.dtype), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
         else:
             dB_rows.append(jnp.zeros((P, D), jnp.float32))
@@ -371,12 +400,13 @@ def _recompute_to(spec, training, x, A_ref, B_ref, bias_ref, last_layer: int):
     inv_keep = 1.0 / (1.0 - spec.dropout_prob) if spec.dropout_layers else 1.0
     acts = []
     h = None
+    x_hi, x_lo = _split_hilo(spec, x)
     for l in range(last_layer + 1):
         z = bias_ref[l][None, :].astype(jnp.float32)
         if l > 0:
             z = z + jnp.dot(h, A_ref[l], preferred_element_type=jnp.float32)
         if spec.has_b[l]:
-            z = z + jnp.dot(x, B_ref[l], preferred_element_type=jnp.float32)
+            z = z + _dot_x(x_hi, x_lo, B_ref[l])
         if l == last_layer:
             return acts, z
         a = jnp.maximum(z, 0.0)
@@ -390,8 +420,8 @@ def _recompute_to(spec, training, x, A_ref, B_ref, bias_ref, last_layer: int):
     raise AssertionError("unreachable")
 
 
-def _accumulate_layer(spec, training, l, dz, x, acts, A_ref, dA_refs, dB_refs,
-                      db_refs, B_ref, dx):
+def _accumulate_layer(spec, training, l, dz, x_hi, x_lo, acts, A_ref, dA_refs,
+                      dB_refs, db_refs, B_ref, dx):
     """Shared per-layer bwd bookkeeping; d*_refs map layer → (ref, row).
     Returns (dz_{l-1}, dx)."""
     inv_keep = 1.0 / (1.0 - spec.dropout_prob) if spec.dropout_layers else 1.0
@@ -404,9 +434,14 @@ def _accumulate_layer(spec, training, l, dz, x, acts, A_ref, dA_refs, dB_refs,
     if spec.has_b[l]:
         if l in dB_refs:
             ref, row = dB_refs[l]
-            ref[row] += jax.lax.dot_general(
-                x, dz_b, (((0,), (0,)), ((), ())),
+            dB_tile = jax.lax.dot_general(
+                x_hi, dz_b, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            if x_lo is not None:
+                dB_tile += jax.lax.dot_general(
+                    x_lo, dz_b, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            ref[row] += dB_tile
         dx = dx + jax.lax.dot_general(
             dz_b, B_ref[l], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -457,9 +492,10 @@ def _bwd_upper_kernel(spec, training, hi, b_layers_up,
     dB_refs = {l: (dB_ref, k) for k, l in enumerate(b_layers_up)}
     db_refs = {l: (db_ref, l - hi) for l in range(hi, n)}
     dx = jnp.zeros((x.shape[0], spec.p_in), jnp.float32)
+    x_hi, x_lo = _split_hilo(spec, x)
     for l in range(n - 1, hi - 1, -1):
-        dz, dx = _accumulate_layer(spec, training, l, dz, x, acts, A_ref,
-                                   dA_refs, dB_refs, db_refs, B_ref, dx)
+        dz, dx = _accumulate_layer(spec, training, l, dz, x_hi, x_lo, acts,
+                                   A_ref, dA_refs, dB_refs, db_refs, B_ref, dx)
     dzb_ref[...] = dz.astype(jnp.bfloat16)   # dz_{hi-1}, already masked
     if dx_ref is not None:
         dx_ref[...] = dx
@@ -488,9 +524,10 @@ def _bwd_lower_kernel(spec, training, hi, b_layers_lo,
     dB_refs = {l: (dB_ref, k) for k, l in enumerate(b_layers_lo)}
     db_refs = {l: (db_ref, l) for l in range(hi)}
     dx = jnp.zeros((x.shape[0], spec.p_in), jnp.float32)
+    x_hi, x_lo = _split_hilo(spec, x)
     for l in range(hi - 1, -1, -1):
-        dz, dx = _accumulate_layer(spec, training, l, dz, x, acts, A_ref,
-                                   dA_refs, dB_refs, db_refs, B_ref, dx)
+        dz, dx = _accumulate_layer(spec, training, l, dz, x_hi, x_lo, acts,
+                                   A_ref, dA_refs, dB_refs, db_refs, B_ref, dx)
     dx_ref[...] = dx
 
 
@@ -505,7 +542,7 @@ def _fused_bwd_split(spec, training, residuals, g):
     b_layers_lo = tuple(l for l in range(hi) if spec.has_b[l])
 
     tile = spec.bwd_tile
-    xp, N = _pad_points(x.astype(jnp.bfloat16), spec, tile)
+    xp, N = _pad_points(x.astype(_kernel_in_dtype(spec)), spec, tile)
     gp = jnp.pad(g.astype(jnp.float32), ((0, xp.shape[0] - N), (0, 0)))
     n_tiles = xp.shape[0] // tile
 

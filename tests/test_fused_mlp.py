@@ -51,7 +51,8 @@ def test_forward_matches_xla():
     x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (300, 5)).astype(np.float32))
     ref = np.asarray(decoder_forward(config, params, x))
     got = np.asarray(fused_decoder_forward(config, params, x, tile=128))
-    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
+    # hi+lo input split leaves only weight-bf16 noise (~1e-4 on 512×8)
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
     # correlation must be essentially 1 (bf16 noise only)
     assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.9999
 

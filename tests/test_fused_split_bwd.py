@@ -49,11 +49,14 @@ def test_split_matches_stream(cfg_kw):
     v1, g1 = grads_with_impl(config, params, x, "stream")
     v2, g2 = grads_with_impl(config, params, x, "split")
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
-    # dbias gets a looser band: the stream path sums bf16-quantized dz,
-    # the split path accumulates f32 (more accurate)
+    # dbias/dB get looser bands: the stream path sums bf16-quantized dz
+    # while split accumulates f32, and stream's dB GEMM sees exact-f32 x
+    # while split's sees the hi+lo bf16 pair — each path is close to the
+    # true gradient but they differ from EACH OTHER by one bf16 ULP on
+    # O(1) entries
     for a, b, name, rtol, atol in [
-            (g1[0], g2[0], "dA", 1e-3, 1e-4), (g1[1], g2[1], "dB", 1e-3, 1e-4),
-            (g1[2], g2[2], "dbias", 5e-3, 1e-2), (g1[3], g2[3], "dx", 1e-3, 1e-4)]:
+            (g1[0], g2[0], "dA", 1e-3, 1e-4), (g1[1], g2[1], "dB", 1e-3, 2e-3),
+            (g1[2], g2[2], "dbias", 5e-3, 2e-2), (g1[3], g2[3], "dx", 1e-3, 1e-4)]:
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=rtol, atol=atol, err_msg=name)
