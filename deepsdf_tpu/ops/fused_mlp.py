@@ -13,9 +13,12 @@ tiles through the whole MLP in one pass:
     training.
   * backward — custom_vjp recomputes the forward chain per tile
     (activations never touch HBM) and accumulates dW/db in VMEM
-    scratch across the sequential TPU grid, writing them once.
-    Dropout masks are regenerated bit-identically from the per-tile
-    seed.
+    scratch across the sequential TPU grid, writing them once. The
+    training fwd additionally streams the split-point activation
+    a_{hi-1} to HBM so the upper bwd kernel resumes from it instead
+    of recomputing the lower half of the chain (~16% of the fwd+bwd
+    matmul FLOPs). Dropout masks are regenerated bit-identically from
+    the (seed, tile, layer) PRNG seed tuple.
 
 Architecture coverage: uniform-hidden-width decoders (all reference
 configs: 512×8 or 64×4/32×4) with weight-norm (materialized outside —
@@ -62,8 +65,9 @@ class FusedMLPSpec:
     dropout_prob: float
     use_tanh: bool                # pre-final tanh (ref :94-95)
     tile: int = 512
-    bwd_tile: int = 256           # bwd tile (VMEM: weights + dW accumulators + acts)
-    bwd_impl: str = "split"       # "split": two kernels, dW in VMEM accumulators
+    bwd_tile: int = 512           # bwd tile (VMEM: weights + dW accumulators + acts)
+    bwd_impl: str = "split"       # "split": two kernels, dW in VMEM accumulators,
+                                  #   upper resumes from the fwd's a_{hi-1} ckpt
                                   # "stream": dz/acts to HBM + XLA GEMMs
     input_hilo: bool = True       # split x into hi+lo bf16 halves for the B
                                   # matmuls: recovers ~f32 input precision
@@ -73,7 +77,7 @@ class FusedMLPSpec:
 
     @classmethod
     def plan(cls, config: DecoderConfig, tile: int = 512,
-             bwd_tile: int = 256, bwd_impl: str = "split") -> "FusedMLPSpec":
+             bwd_tile: int | None = None, bwd_impl: str = "split") -> "FusedMLPSpec":
         dims = config.all_dims
         hidden = set(dims[1:-1])
         if len(hidden) != 1:
@@ -84,6 +88,12 @@ class FusedMLPSpec:
             raise ValueError("latent_dropout uses the XLA path")
         width = _round_up(next(iter(hidden)), 128)
         p_in = _round_up(dims[0], 128)
+        if bwd_tile is None:
+            # wide inputs (chairs: p_in=384) need the smaller tile to fit
+            # x/dx/dB tiles + accumulators next to the weights in VMEM;
+            # the stream impl holds per-layer dz+act tiles, so smaller again
+            bwd_tile = 256 if bwd_impl == "stream" else \
+                512 if p_in <= 256 else 256
         n_linear = config.num_layers - 1
         has_b = tuple(
             l == 0 or l in config.latent_in or (config.xyz_in_all and l != 0)
@@ -155,14 +165,59 @@ def _dot_x(x_hi, x_lo, B):
     return z
 
 
-def _forward_chain(spec: FusedMLPSpec, x, A_ref, B_ref, bias_ref, training: bool,
-                   keep_activations: bool):
-    """Shared fwd chain on one tile. Returns (pred_col (T,1) f32, acts)."""
+def _dropout(spec: FusedMLPSpec, a, seed_ref, tile_id, l: int):
+    """Per-(seed, tile, layer)-seeded dropout so any kernel regenerates
+    any single layer's mask without replaying preceding layers. Drop
+    when bits land in the TOP p-fraction: interpret mode (which yields
+    zero bits) then degrades to keep-everything instead of
+    drop-everything."""
+    # Mosaic caps prng_seed at 2 values — fold (tile, layer) into one
+    # stream id (layer count < 256 always; tile counts < 2^23)
+    pltpu.prng_seed(seed_ref[0], tile_id * 256 + l)
+    bits = pltpu.prng_random_bits(a.shape)
+    thresh = np.uint32(int((1.0 - spec.dropout_prob) * 2 ** 32))
+    keep = pltpu.bitcast(bits, jnp.uint32) < thresh
+    return jnp.where(keep, a / (1.0 - spec.dropout_prob), 0.0)
+
+
+def _layer_act(spec: FusedMLPSpec, training: bool, z, l: int, seed_ref, tile_id):
+    """ReLU + (training) dropout for hidden layer ``l``; bf16 result."""
+    a = jnp.maximum(z, 0.0)
+    if training and l in spec.dropout_layers:
+        a = _dropout(spec, a, seed_ref, tile_id, l)
+    return a.astype(jnp.bfloat16)
+
+
+def _head_pred(spec: FusedMLPSpec, z_last):
+    """Final-layer nonlinearity: optional pre-tanh (full width) then the
+    always-on output tanh on column 0 (ref deep_sdf_decoder.py:94-109)."""
+    if spec.use_tanh:
+        z_last = jnp.tanh(z_last)
+    return jnp.tanh(z_last[:, :1])
+
+
+def _head_dz(spec: FusedMLPSpec, z_last, g):
+    """dL/dz_{n-1} (full width, zero outside column 0) from dL/dpred."""
+    if spec.use_tanh:
+        w = jnp.tanh(z_last[:, :1])
+        y = jnp.tanh(w)
+        dz_col = g * (1.0 - y * y) * (1.0 - w * w)
+    else:
+        y = jnp.tanh(z_last[:, :1])
+        dz_col = g * (1.0 - y * y)
+    return jnp.concatenate(
+        [dz_col, jnp.zeros((dz_col.shape[0], spec.width - 1), jnp.float32)], axis=1)
+
+
+def _fwd_kernel(spec: FusedMLPSpec, training: bool, ckpt_layer: int | None,
+                seed_ref, x_ref, A_ref, B_ref, bias_ref, out_ref, *maybe_ckpt):
+    """Full forward chain; optionally writes the activation after layer
+    ``ckpt_layer`` (= a_{hi-1}, the split-point checkpoint) to HBM."""
+    tile_id = pl.program_id(0)
+    x = x_ref[...]
     n = spec.n_linear
-    inv_keep = 1.0 / (1.0 - spec.dropout_prob) if spec.dropout_layers else 1.0
-    acts = []
-    h = None
     x_hi, x_lo = _split_hilo(spec, x)
+    h = None
     for l in range(n):
         z = bias_ref[l][None, :].astype(jnp.float32)
         if l > 0:
@@ -170,46 +225,23 @@ def _forward_chain(spec: FusedMLPSpec, x, A_ref, B_ref, bias_ref, training: bool
         if spec.has_b[l]:
             z = z + _dot_x(x_hi, x_lo, B_ref[l])
         if l == n - 1:
-            if spec.use_tanh:
-                z = jnp.tanh(z)
-            pred = jnp.tanh(z[:, :1])
-            return pred, acts
-        a = jnp.maximum(z, 0.0)
-        if training and l in spec.dropout_layers:
-            # drop when bits land in the TOP p-fraction: interpret mode
-            # (which yields zero bits) then degrades to keep-everything
-            # instead of drop-everything
-            bits = pltpu.prng_random_bits(a.shape)
-            thresh = np.uint32(int((1.0 - spec.dropout_prob) * 2 ** 32))
-            keep = pltpu.bitcast(bits, jnp.uint32) < thresh
-            a = jnp.where(keep, a * inv_keep, 0.0)
-        h = a.astype(jnp.bfloat16)
-        if keep_activations:
-            acts.append(h)
-    raise AssertionError("unreachable")
-
-
-def _fwd_kernel(spec: FusedMLPSpec, training: bool,
-                seed_ref, x_ref, A_ref, B_ref, bias_ref, out_ref):
-    if training and spec.dropout_layers:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    x = x_ref[...]
-    pred, _ = _forward_chain(spec, x, A_ref, B_ref, bias_ref, training, False)
-    out_ref[...] = pred
+            out_ref[...] = _head_pred(spec, z)
+            return
+        h = _layer_act(spec, training, z, l, seed_ref, tile_id)
+        if ckpt_layer is not None and l == ckpt_layer:
+            maybe_ckpt[0][...] = h
 
 
 def _bwd_kernel(spec: FusedMLPSpec, training: bool,
                 seed_ref, x_ref, A_ref, B_ref, bias_ref, g_ref,
                 dx_ref, dz_ref, act_ref):
-    """Per tile: recompute fwd (bit-identical dropout from the tile
-    seed), backprop the dz chain, and stream dz_l / activations to HBM
-    in bf16. The dW/db contractions happen outside as large XLA GEMMs —
-    this keeps VMEM to weights + one tile regardless of layer count.
+    """Per tile: recompute fwd (bit-identical dropout from the
+    (seed, tile, layer) key), backprop the dz chain, and stream
+    dz_l / activations to HBM in bf16. The dW/db contractions happen
+    outside as large XLA GEMMs — this keeps VMEM to weights + one tile
+    regardless of layer count.
     """
-    i = pl.program_id(0)
-    if training and spec.dropout_layers:
-        pltpu.prng_seed(seed_ref[0] + i)
-
+    tile_id = pl.program_id(0)
     x = x_ref[...]
     n = spec.n_linear
     inv_keep = 1.0 / (1.0 - spec.dropout_prob) if spec.dropout_layers else 1.0
@@ -228,27 +260,11 @@ def _bwd_kernel(spec: FusedMLPSpec, training: bool,
         if l == n - 1:
             z_last = z
             break
-        a = jnp.maximum(z, 0.0)
-        if training and l in spec.dropout_layers:
-            bits = pltpu.prng_random_bits(a.shape)
-            thresh = np.uint32(int((1.0 - spec.dropout_prob) * 2 ** 32))
-            keep = pltpu.bitcast(bits, jnp.uint32) < thresh
-            a = jnp.where(keep, a * inv_keep, 0.0)
-        h = a.astype(jnp.bfloat16)
+        h = _layer_act(spec, training, z, l, seed_ref, tile_id)
         acts.append(h)
         act_ref[l] = h
 
-    # --- backward through the head ---
-    g = g_ref[...]                               # (T, 1) = dL/dpred
-    if spec.use_tanh:
-        w = jnp.tanh(z_last[:, :1])
-        y = jnp.tanh(w)
-        dz_col = g * (1.0 - y * y) * (1.0 - w * w)
-    else:
-        y = jnp.tanh(z_last[:, :1])
-        dz_col = g * (1.0 - y * y)
-    dz = jnp.concatenate(
-        [dz_col, jnp.zeros((dz_col.shape[0], spec.width - 1), jnp.float32)], axis=1)
+    dz = _head_dz(spec, z_last, g_ref[...])
 
     dx = jnp.zeros((x.shape[0], spec.p_in), jnp.float32)
     # --- walk layers in reverse ---
@@ -279,8 +295,9 @@ def _pad_points(x: jax.Array, spec: FusedMLPSpec, tile: int):
 
 
 def _fwd_tile(spec: FusedMLPSpec, training: bool) -> int:
-    # dropout masks are generated per tile from (seed + tile_id); the
-    # training fwd must therefore tile identically to the bwd recompute
+    # dropout masks are generated per (tile, layer) from the tile id;
+    # the training fwd must therefore tile identically to the bwd
+    # recompute
     return spec.bwd_tile if (training and spec.dropout_layers) else spec.tile
 
 
@@ -297,12 +314,28 @@ def _kernel_in_dtype(spec: FusedMLPSpec):
     return jnp.float32 if spec.input_hilo else jnp.bfloat16
 
 
-def _fused_fwd_impl(spec, training, x, A, B, bias, seed):
+def _use_split(spec: FusedMLPSpec) -> bool:
+    return spec.bwd_impl == "split" and spec.n_linear >= 3
+
+
+def _fused_fwd_impl(spec, training, x, A, B, bias, seed, want_ckpt=False):
     tile = _fwd_tile(spec, training)
+    if want_ckpt:
+        # ckpt blocks are re-read by the bwd at bwd_tile granularity;
+        # keep the fwd padding a multiple of it
+        tile = spec.bwd_tile if tile % spec.bwd_tile else tile
     xp, N = _pad_points(x.astype(_kernel_in_dtype(spec)), spec, tile)
     n_tiles = xp.shape[0] // tile
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, spec, training),
+    ckpt_layer = _split_point(spec.n_linear) - 1 if want_ckpt else None
+    out_specs = [pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((xp.shape[0], 1), jnp.float32)]
+    if want_ckpt:
+        out_specs.append(pl.BlockSpec((tile, spec.width), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((xp.shape[0], spec.width),
+                                              jnp.bfloat16))
+    res = pl.pallas_call(
+        functools.partial(_fwd_kernel, spec, training, ckpt_layer),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -315,26 +348,31 @@ def _fused_fwd_impl(spec, training, x, A, B, bias, seed):
             pl.BlockSpec((spec.n_linear, spec.width), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((xp.shape[0], 1), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
     )(seed.reshape(1), xp, A, B, bias)
-    return out[:N]
+    if want_ckpt:
+        return res[0][:N], res[1]
+    return res[0][:N]
 
 
 def _fused_fwd_rule(spec, training, x, A, B, bias, seed):
+    if _use_split(spec):
+        pred, ckpt = _fused_fwd_impl(spec, training, x, A, B, bias, seed,
+                                     want_ckpt=True)
+        return pred, (x, A, B, bias, seed, ckpt)
     pred = _fused_fwd_impl(spec, training, x, A, B, bias, seed)
-    return pred, (x, A, B, bias, seed)
+    return pred, (x, A, B, bias, seed, None)
 
 
 def _fused_bwd_rule(spec, training, residuals, g):
-    if spec.bwd_impl == "split" and spec.n_linear >= 3:
+    if _use_split(spec):
         return _fused_bwd_split(spec, training, residuals, g)
     return _fused_bwd_stream(spec, training, residuals, g)
 
 
 def _fused_bwd_stream(spec, training, residuals, g):
-    x, A, B, bias, seed = residuals
+    x, A, B, bias, seed, _ckpt = residuals
     tile = _fwd_tile(spec, training) if (training and spec.dropout_layers) \
         else spec.bwd_tile
     xp, N = _pad_points(x.astype(_kernel_in_dtype(spec)), spec, tile)
@@ -394,36 +432,29 @@ def _split_point(n: int) -> int:
     return max(2, n // 2 + 1)
 
 
-def _recompute_to(spec, training, x, A_ref, B_ref, bias_ref, last_layer: int):
-    """Fwd chain through linear ``last_layer`` (exclusive of its act),
-    returning (acts list a_0..a_{last_layer-1}, z_last)."""
-    inv_keep = 1.0 / (1.0 - spec.dropout_prob) if spec.dropout_layers else 1.0
-    acts = []
+def _recompute_acts(spec, training, n_acts, x_hi, x_lo, A_ref, B_at, bias_ref,
+                    seed_ref, tile_id):
+    """Fwd chain producing activations a_0..a_{n_acts-1} (dict keyed by
+    layer). ``A_ref`` rows are absolute layer indices; ``B_at`` maps a
+    has_b layer to its (P, width) block."""
+    acts = {}
     h = None
-    x_hi, x_lo = _split_hilo(spec, x)
-    for l in range(last_layer + 1):
+    for l in range(n_acts):
         z = bias_ref[l][None, :].astype(jnp.float32)
         if l > 0:
             z = z + jnp.dot(h, A_ref[l], preferred_element_type=jnp.float32)
         if spec.has_b[l]:
-            z = z + _dot_x(x_hi, x_lo, B_ref[l])
-        if l == last_layer:
-            return acts, z
-        a = jnp.maximum(z, 0.0)
-        if training and l in spec.dropout_layers:
-            bits = pltpu.prng_random_bits(a.shape)
-            thresh = np.uint32(int((1.0 - spec.dropout_prob) * 2 ** 32))
-            keep = pltpu.bitcast(bits, jnp.uint32) < thresh
-            a = jnp.where(keep, a * inv_keep, 0.0)
-        h = a.astype(jnp.bfloat16)
-        acts.append(h)
-    raise AssertionError("unreachable")
+            z = z + _dot_x(x_hi, x_lo, B_at(l))
+        h = _layer_act(spec, training, z, l, seed_ref, tile_id)
+        acts[l] = h
+    return acts
 
 
-def _accumulate_layer(spec, training, l, dz, x_hi, x_lo, acts, A_ref, dA_refs,
-                      dB_refs, db_refs, B_ref, dx):
-    """Shared per-layer bwd bookkeeping; d*_refs map layer → (ref, row).
-    Returns (dz_{l-1}, dx)."""
+def _accumulate_layer(spec, training, l, dz, x_hi, x_lo, acts, A_at, B_at,
+                      dA_refs, dB_refs, db_refs, dx):
+    """Shared per-layer bwd bookkeeping; d*_refs map layer → (ref, row),
+    ``acts`` maps layer → its post-act h, ``A_at``/``B_at`` map a layer
+    to its weight block. Returns (dz_{l-1}, dx)."""
     inv_keep = 1.0 / (1.0 - spec.dropout_prob) if spec.dropout_layers else 1.0
     dz_b = dz.astype(jnp.bfloat16)
     if l > 0 and l in dA_refs:
@@ -443,7 +474,7 @@ def _accumulate_layer(spec, training, l, dz, x_hi, x_lo, acts, A_ref, dA_refs,
                     preferred_element_type=jnp.float32)
             ref[row] += dB_tile
         dx = dx + jax.lax.dot_general(
-            dz_b, B_ref[l], (((1,), (1,)), ((), ())),
+            dz_b, B_at(l), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
     if l in db_refs:
         ref, row = db_refs[l]
@@ -451,7 +482,7 @@ def _accumulate_layer(spec, training, l, dz, x_hi, x_lo, acts, A_ref, dA_refs,
     if l == 0:
         return None, dx
     da = jax.lax.dot_general(
-        dz_b, A_ref[l], (((1,), (1,)), ((), ())),
+        dz_b, A_at(l), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     a_here = acts[l - 1].astype(jnp.float32)
     scale = inv_keep if (training and (l - 1) in spec.dropout_layers) else 1.0
@@ -459,43 +490,53 @@ def _accumulate_layer(spec, training, l, dz, x_hi, x_lo, acts, A_ref, dA_refs,
 
 
 def _bwd_upper_kernel(spec, training, hi, b_layers_up,
-                      seed_ref, x_ref, A_ref, B_ref, bias_ref, g_ref,
+                      seed_ref, ckpt_ref, A_ref, bias_ref, g_ref, x_ref, B_ref,
                       dzb_ref, dx_ref, dA_ref, dB_ref, db_ref):
-    """Linears hi..n-1: recompute fwd, backprop to dz_{hi-1} (written to
-    HBM), accumulate that range's dA/dB/db in VMEM accumulators."""
-    i = pl.program_id(0)
-    if training and spec.dropout_layers:
-        pltpu.prng_seed(seed_ref[0] + i)
+    """Linears hi..n-1, resuming from the fwd's a_{hi-1} checkpoint:
+    recompute only this range, backprop to dz_{hi-1} (written to HBM),
+    accumulate the range's dA/dB/db in VMEM accumulators. ``A_ref`` /
+    ``bias_ref`` hold rows hi..n-1 (row = l - hi); ``x_ref``/``B_ref``/
+    ``dx_ref``/``dB_ref`` are None when no has_b layer is in range."""
+    tile_id = pl.program_id(0)
 
-    @pl.when(i == 0)
+    @pl.when(tile_id == 0)
     def _zero():
         dA_ref[...] = jnp.zeros(dA_ref.shape, dA_ref.dtype)
-        dB_ref[...] = jnp.zeros(dB_ref.shape, dB_ref.dtype)
         db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+        if dB_ref is not None:
+            dB_ref[...] = jnp.zeros(dB_ref.shape, dB_ref.dtype)
 
     n = spec.n_linear
-    x = x_ref[...]
-    acts, z_last = _recompute_to(spec, training, x, A_ref, B_ref, bias_ref, n - 1)
+    A_at = lambda l: A_ref[l - hi]
+    B_at = lambda l: B_ref[b_layers_up.index(l)]
+    x_hi = x_lo = None
+    if x_ref is not None:
+        x_hi, x_lo = _split_hilo(spec, x_ref[...])
 
-    g = g_ref[...]
-    if spec.use_tanh:
-        w = jnp.tanh(z_last[:, :1])
-        y = jnp.tanh(w)
-        dz_col = g * (1.0 - y * y) * (1.0 - w * w)
-    else:
-        y = jnp.tanh(z_last[:, :1])
-        dz_col = g * (1.0 - y * y)
-    dz = jnp.concatenate(
-        [dz_col, jnp.zeros((dz_col.shape[0], spec.width - 1), jnp.float32)], axis=1)
+    # --- recompute linears hi..n-1 from the checkpoint ---
+    acts = {hi - 1: ckpt_ref[...]}
+    h = acts[hi - 1]
+    z_last = None
+    for l in range(hi, n):
+        z = bias_ref[l - hi][None, :].astype(jnp.float32)
+        z = z + jnp.dot(h, A_at(l), preferred_element_type=jnp.float32)
+        if spec.has_b[l]:
+            z = z + _dot_x(x_hi, x_lo, B_at(l))
+        if l == n - 1:
+            z_last = z
+            break
+        h = _layer_act(spec, training, z, l, seed_ref, tile_id)
+        acts[l] = h
+
+    dz = _head_dz(spec, z_last, g_ref[...])
 
     dA_refs = {l: (dA_ref, l - hi) for l in range(hi, n)}
     dB_refs = {l: (dB_ref, k) for k, l in enumerate(b_layers_up)}
     db_refs = {l: (db_ref, l - hi) for l in range(hi, n)}
-    dx = jnp.zeros((x.shape[0], spec.p_in), jnp.float32)
-    x_hi, x_lo = _split_hilo(spec, x)
+    dx = jnp.zeros((ckpt_ref.shape[0], spec.p_in), jnp.float32)
     for l in range(n - 1, hi - 1, -1):
         dz, dx = _accumulate_layer(spec, training, l, dz, x_hi, x_lo, acts,
-                                   A_ref, dA_refs, dB_refs, db_refs, B_ref, dx)
+                                   A_at, B_at, dA_refs, dB_refs, db_refs, dx)
     dzb_ref[...] = dz.astype(jnp.bfloat16)   # dz_{hi-1}, already masked
     if dx_ref is not None:
         dx_ref[...] = dx
@@ -504,38 +545,41 @@ def _bwd_upper_kernel(spec, training, hi, b_layers_up,
 def _bwd_lower_kernel(spec, training, hi, b_layers_lo,
                       seed_ref, x_ref, A_ref, B_ref, bias_ref, dzb_ref,
                       dx_ref, dA_ref, dB_ref, db_ref):
-    """Linears 0..hi-1: recompute fwd to a_{hi-2}, consume dz_{hi-1}."""
-    i = pl.program_id(0)
-    if training and spec.dropout_layers:
-        pltpu.prng_seed(seed_ref[0] + i)
+    """Linears 0..hi-1: recompute acts a_0..a_{hi-2}, consume dz_{hi-1}.
+    ``A_ref``/``bias_ref`` hold rows 0..hi-1 (row = l); ``B_ref`` holds
+    only the has_b layers in range, in ``b_layers_lo`` order."""
+    tile_id = pl.program_id(0)
 
-    @pl.when(i == 0)
+    @pl.when(tile_id == 0)
     def _zero():
         dA_ref[...] = jnp.zeros(dA_ref.shape, dA_ref.dtype)
         dB_ref[...] = jnp.zeros(dB_ref.shape, dB_ref.dtype)
         db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
 
     x = x_ref[...]
-    # recompute acts a_0..a_{hi-2} (stop before linear hi-1's output act)
-    acts, _ = _recompute_to(spec, training, x, A_ref, B_ref, bias_ref, hi - 1)
+    x_hi, x_lo = _split_hilo(spec, x)
+    A_at = lambda l: A_ref[l]
+    B_at = lambda l: B_ref[b_layers_lo.index(l)]
+    acts = _recompute_acts(spec, training, hi - 1, x_hi, x_lo, A_ref, B_at,
+                           bias_ref, seed_ref, tile_id)
 
     dz = dzb_ref[...].astype(jnp.float32)
     dA_refs = {l: (dA_ref, l - 1) for l in range(1, hi)}
     dB_refs = {l: (dB_ref, k) for k, l in enumerate(b_layers_lo)}
     db_refs = {l: (db_ref, l) for l in range(hi)}
     dx = jnp.zeros((x.shape[0], spec.p_in), jnp.float32)
-    x_hi, x_lo = _split_hilo(spec, x)
     for l in range(hi - 1, -1, -1):
         dz, dx = _accumulate_layer(spec, training, l, dz, x_hi, x_lo, acts,
-                                   A_ref, dA_refs, dB_refs, db_refs, B_ref, dx)
+                                   A_at, B_at, dA_refs, dB_refs, db_refs, dx)
     dx_ref[...] = dx
 
 
 def _fused_bwd_split(spec, training, residuals, g):
     """Two-kernel backward: dW/db accumulate in VMEM across the grid —
-    no dz/activation streaming, no XLA GEMM pass. Layer range is split
-    so each kernel's f32 accumulators fit VMEM next to the weights."""
-    x, A, B, bias, seed = residuals
+    no dz/activation streaming, no XLA GEMM pass. The upper kernel
+    resumes from the fwd's a_{hi-1} checkpoint; each kernel sees only
+    its layer range's weights so the f32 accumulators fit VMEM."""
+    x, A, B, bias, seed, ckpt = residuals
     n, D, P = spec.n_linear, spec.width, spec.p_in
     hi = _split_point(n)
     b_layers_up = tuple(l for l in range(hi, n) if spec.has_b[l])
@@ -546,79 +590,68 @@ def _fused_bwd_split(spec, training, residuals, g):
     gp = jnp.pad(g.astype(jnp.float32), ((0, xp.shape[0] - N), (0, 0)))
     n_tiles = xp.shape[0] // tile
 
-    weight_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((tile, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((n, D, D), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((n, P, D), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((n, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-    ]
-    acc = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                                     memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    row_tile = lambda w: pl.BlockSpec((tile, w), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
 
-    # ---- upper ----
-    nb_up = max(len(b_layers_up), 1)
-    up_outs = [
-        pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        acc((n - hi, D, D)),
-        acc((nb_up, P, D)),
-        acc((n - hi, D)),
-    ]
+    # ---- upper: layers hi..n-1 from the checkpoint ----
+    nb_up = len(b_layers_up)
+    emit_dx_up = nb_up > 0
+    up_ins = [seed_spec, row_tile(D), whole((n - hi, D, D)),
+              whole((n - hi, D)), row_tile(1)]
+    up_args = [seed.reshape(1), ckpt, A[hi:], bias[hi:], gp]
+    if emit_dx_up:
+        up_ins += [row_tile(P), whole((nb_up, P, D))]
+        up_args += [xp, B[jnp.array(b_layers_up)]]
+    up_outs = [row_tile(D), whole((n - hi, D, D)), whole((n - hi, D))]
     up_shapes = [
         jax.ShapeDtypeStruct((xp.shape[0], D), jnp.bfloat16),
         jax.ShapeDtypeStruct((n - hi, D, D), jnp.float32),
-        jax.ShapeDtypeStruct((nb_up, P, D), jnp.float32),
         jax.ShapeDtypeStruct((n - hi, D), jnp.float32),
     ]
-    emit_dx_up = bool(b_layers_up)
     if emit_dx_up:
-        up_outs.insert(1, pl.BlockSpec((tile, P), lambda i: (i, 0),
-                                       memory_space=pltpu.VMEM))
-        up_shapes.insert(1, jax.ShapeDtypeStruct((xp.shape[0], P), jnp.float32))
+        up_outs[1:1] = [row_tile(P), whole((nb_up, P, D))]
+        up_shapes[1:1] = [jax.ShapeDtypeStruct((xp.shape[0], P), jnp.float32),
+                          jax.ShapeDtypeStruct((nb_up, P, D), jnp.float32)]
 
-    def upper(seed_ref, x_ref, A_ref, B_ref, bias_ref, g_ref, *outs):
+    def upper(seed_ref, ckpt_ref, A_ref, bias_ref, g_ref, *rest):
         if emit_dx_up:
-            dzb_ref, dx_ref, dA_ref, dB_ref, db_ref = outs
+            x_ref, B_ref, dzb_ref, dx_ref, dB_ref, dA_ref, db_ref = rest
         else:
-            dzb_ref, dA_ref, dB_ref, db_ref = outs
-            dx_ref = None
+            (dzb_ref, dA_ref, db_ref), x_ref, B_ref, dx_ref, dB_ref = \
+                rest, None, None, None, None
         _bwd_upper_kernel(spec, training, hi, b_layers_up,
-                          seed_ref, x_ref, A_ref, B_ref, bias_ref, g_ref,
-                          dzb_ref, dx_ref, dA_ref, dB_ref, db_ref)
+                          seed_ref, ckpt_ref, A_ref, bias_ref, g_ref,
+                          x_ref, B_ref, dzb_ref, dx_ref, dA_ref, dB_ref, db_ref)
 
     up_results = pl.pallas_call(
-        upper, grid=(n_tiles,),
-        in_specs=weight_specs + [
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)],
-        out_specs=up_outs,
-        out_shape=up_shapes,
-    )(seed.reshape(1), xp, A, B, bias, gp)
+        upper, grid=(n_tiles,), in_specs=up_ins,
+        out_specs=up_outs, out_shape=up_shapes,
+    )(*up_args)
     if emit_dx_up:
-        dzb, dx_up, dA_up, dB_up, db_up = up_results
+        dzb, dx_up, dB_up, dA_up, db_up = up_results
     else:
-        dzb, dA_up, dB_up, db_up = up_results
-        dx_up = None
+        dzb, dA_up, db_up = up_results
+        dx_up, dB_up = None, None
 
-    # ---- lower ----
-    nb_lo = max(len(b_layers_lo), 1)
+    # ---- lower: layers 0..hi-1 ----
+    nb_lo = len(b_layers_lo)      # ≥ 1: layer 0 always consumes x
     lo_results = pl.pallas_call(
         functools.partial(_bwd_lower_kernel, spec, training, hi, b_layers_lo),
         grid=(n_tiles,),
-        in_specs=weight_specs + [
-            pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec((tile, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            acc((hi - 1, D, D)),
-            acc((nb_lo, P, D)),
-            acc((hi, D)),
-        ],
+        in_specs=[seed_spec, row_tile(P), whole((hi, D, D)),
+                  whole((nb_lo, P, D)), whole((hi, D)), row_tile(D)],
+        out_specs=[row_tile(P), whole((hi - 1, D, D)),
+                   whole((nb_lo, P, D)), whole((hi, D))],
         out_shape=[
             jax.ShapeDtypeStruct((xp.shape[0], P), jnp.float32),
             jax.ShapeDtypeStruct((hi - 1, D, D), jnp.float32),
             jax.ShapeDtypeStruct((nb_lo, P, D), jnp.float32),
             jax.ShapeDtypeStruct((hi, D), jnp.float32),
         ],
-    )(seed.reshape(1), xp, A, B, bias, dzb)
+    )(seed.reshape(1), xp, A[:hi], B[jnp.array(b_layers_lo)], bias[:hi], dzb)
     dx_lo, dA_lo, dB_lo, db_lo = lo_results
 
     # ---- assemble full-layer gradients ----

@@ -41,6 +41,53 @@ def main():
     print(f"eval-mode parity vs XLA: max abs err {err:.5f} (bf16 matmuls)")
     assert err < 0.05
 
+    # --- fwd/bwd dropout-mask consistency under REAL random bits ---
+    # The bwd kernels regenerate masks from (seed, tile, layer); if that
+    # reconstruction ever diverged from the fwd's masks, the gradient
+    # would not be the derivative of the (seed-deterministic) loss.
+    # Directional finite differences over the packed weights catch it.
+    import dataclasses as _dc
+
+    from deepsdf_tpu.ops.fused_mlp import FusedMLPSpec, fused_mlp, pack_params
+
+    spec = FusedMLPSpec.plan(config)
+    A, B, bias = pack_params(config, params, spec)
+    xs = x[:600]  # odd size: exercises padding rows too
+    seed = jnp.asarray(7, jnp.int32)
+
+    def loss(A, B, bias):
+        return jnp.sum(jnp.abs(fused_mlp(spec, True, xs, A, B, bias, seed)))
+
+    for impl in ("split", "stream"):
+        sp = _dc.replace(spec, bwd_impl=impl,
+                         bwd_tile=256 if impl == "stream" else spec.bwd_tile)
+
+        def loss_i(A, B, bias, sp=sp):
+            return jnp.sum(jnp.abs(fused_mlp(sp, True, xs, A, B, bias, seed)))
+
+        val, grads = jax.value_and_grad(loss_i, argnums=(0, 1, 2))(A, B, bias)
+        rng_fd = np.random.default_rng(3)
+        for name, arr, grad in (("A", A, grads[0]), ("bias", bias, grads[2])):
+            V = jnp.asarray(rng_fd.normal(0, 1, arr.shape).astype(np.float32))
+            eps = 3e-3
+            if arr.dtype == jnp.bfloat16:
+                # step in f32 then round: FD direction must survive bf16
+                Vq = ((arr.astype(jnp.float32) + eps * V).astype(arr.dtype)
+                      .astype(jnp.float32) - arr.astype(jnp.float32)) / eps
+                ap = (arr.astype(jnp.float32) + eps * V).astype(arr.dtype)
+                am = (arr.astype(jnp.float32) - eps * V).astype(arr.dtype)
+                V = Vq
+            else:
+                ap, am = arr + eps * V, arr - eps * V
+            args_p = {"A": (ap, B, bias), "bias": (A, B, ap)}[name]
+            args_m = {"A": (am, B, bias), "bias": (A, B, am)}[name]
+            fd = (float(loss_i(*args_p)) - float(loss_i(*args_m))) / (2 * eps)
+            an = float(jnp.vdot(grad.astype(jnp.float32), V.astype(jnp.float32)))
+            rel = abs(fd - an) / (abs(fd) + 1e-6)
+            print(f"dropout-grad FD [{impl}] d{name}: fd={fd:.4f} grad={an:.4f} "
+                  f"rel={rel:.3f}")
+            assert rel < 0.08, f"{impl} d{name} FD mismatch: {fd} vs {an}"
+
     # --- grid eval timing (vs ref 18,081 fwd pts in 0.033 s / 316k ~1 s) ---
     config32 = DecoderConfig(latent_size=2, dims=(32,) * 4, geom_dimension=3)
     params32 = init_decoder_params(jax.random.PRNGKey(1), config32)
