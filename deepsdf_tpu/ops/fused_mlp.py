@@ -165,27 +165,35 @@ def _dot_x(x_hi, x_lo, B):
     return z
 
 
-def _dropout(spec: FusedMLPSpec, a, seed_ref, tile_id, l: int):
-    """Per-(seed, tile, layer)-seeded dropout so any kernel regenerates
-    any single layer's mask without replaying preceding layers. Drop
-    when bits land in the TOP p-fraction: interpret mode (which yields
-    zero bits) then degrades to keep-everything instead of
-    drop-everything."""
-    # Mosaic caps prng_seed at 2 values — fold (tile, layer) into one
-    # stream id (layer count < 256 always; tile counts < 2^23)
-    pltpu.prng_seed(seed_ref[0], tile_id * 256 + l)
-    bits = pltpu.prng_random_bits(a.shape)
-    thresh = np.uint32(int((1.0 - spec.dropout_prob) * 2 ** 32))
-    keep = pltpu.bitcast(bits, jnp.uint32) < thresh
-    return jnp.where(keep, a / (1.0 - spec.dropout_prob), 0.0)
+def _inv_keep(spec: FusedMLPSpec) -> float:
+    """Inverted-dropout scale, rounded to bf16 (the mask is applied on
+    the bf16 activation — half the VPU vector work of an f32 apply).
+    Exact for the reference p=0.2 (1.25 is a bf16 value); ≤0.4% scale
+    quantization otherwise."""
+    if not spec.dropout_layers:
+        return 1.0
+    import ml_dtypes
+    return float(np.float32(ml_dtypes.bfloat16(1.0 / (1.0 - spec.dropout_prob))))
 
 
 def _layer_act(spec: FusedMLPSpec, training: bool, z, l: int, seed_ref, tile_id):
-    """ReLU + (training) dropout for hidden layer ``l``; bf16 result."""
-    a = jnp.maximum(z, 0.0)
+    """ReLU + (training) dropout for hidden layer ``l``; bf16 result.
+
+    The dropout mask is reproducible from (seed, tile, layer) alone so
+    any kernel regenerates any single layer's mask without replaying
+    preceding layers. Drop when the draw lands in the TOP p-fraction:
+    interpret mode (which yields zero bits) then degrades to
+    keep-everything instead of drop-everything."""
+    h = jnp.maximum(z, 0.0).astype(jnp.bfloat16)
     if training and l in spec.dropout_layers:
-        a = _dropout(spec, a, seed_ref, tile_id, l)
-    return a.astype(jnp.bfloat16)
+        # Mosaic caps prng_seed at 2 values — fold (tile, layer) into
+        # one stream id (layer count < 256 always; tile counts < 2^23)
+        pltpu.prng_seed(seed_ref[0], tile_id * 256 + l)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(h.shape), jnp.uint32)
+        thresh = np.uint32(int((1.0 - spec.dropout_prob) * 2 ** 32))
+        h = jnp.where(bits < thresh, h * jnp.bfloat16(_inv_keep(spec)),
+                      jnp.bfloat16(0.0))
+    return h
 
 
 def _head_pred(spec: FusedMLPSpec, z_last):
@@ -244,7 +252,7 @@ def _bwd_kernel(spec: FusedMLPSpec, training: bool,
     tile_id = pl.program_id(0)
     x = x_ref[...]
     n = spec.n_linear
-    inv_keep = 1.0 / (1.0 - spec.dropout_prob) if spec.dropout_layers else 1.0
+    inv_keep = _inv_keep(spec)
     x_hi, x_lo = _split_hilo(spec, x)
 
     # --- recompute fwd, activations stay in VMEM ---
@@ -455,7 +463,7 @@ def _accumulate_layer(spec, training, l, dz, x_hi, x_lo, acts, A_at, B_at,
     """Shared per-layer bwd bookkeeping; d*_refs map layer → (ref, row),
     ``acts`` maps layer → its post-act h, ``A_at``/``B_at`` map a layer
     to its weight block. Returns (dz_{l-1}, dx)."""
-    inv_keep = 1.0 / (1.0 - spec.dropout_prob) if spec.dropout_layers else 1.0
+    inv_keep = _inv_keep(spec)
     dz_b = dz.astype(jnp.bfloat16)
     if l > 0 and l in dA_refs:
         ref, row = dA_refs[l]
