@@ -134,7 +134,19 @@ def init_decoder_params(key: jax.Array, config: DecoderConfig, dtype=jnp.float32
         bound_w = math.sqrt(1.0 / in_dim)
         w = jax.random.uniform(wk, (in_dim, out_dim), dtype, -bound_w, bound_w)
         bound_b = 1.0 / math.sqrt(in_dim)
-        b = jax.random.uniform(bk, (out_dim,), dtype, -bound_b, bound_b)
+        if layer == config.num_layers - 2:
+            # Final (SDF-output) layer: zero bias. The torch bound
+            # 1/sqrt(fan_in) exceeds ClampingDistance=0.1 for narrow nets
+            # (fan_in 32 → ±0.177), and a draw past the band puts EVERY
+            # initial prediction outside the clamp where the L1 gradient
+            # is identically zero — training never starts (torch.clamp
+            # has the same dead zone; the reference's committed runs just
+            # won that seed lottery, train_deep_sdf.py:516-521). Zero is
+            # the mean of torch's draw and keeps init predictions
+            # centered in the band.
+            b = jnp.zeros((out_dim,), dtype)
+        else:
+            b = jax.random.uniform(bk, (out_dim,), dtype, -bound_b, bound_b)
         if config.has_weight_norm(layer):
             g = jnp.linalg.norm(w, axis=0)  # per-output-row norm (torch dim=0)
             params[f"lin{layer}"] = {"v": w, "g": g, "b": b}

@@ -20,20 +20,49 @@ from deepsdf_tpu.sdf_sampler import (
 from deepsdf_tpu.sdf_sampler.tiles import DoubleLatticeExtruded, Snappy3D
 
 
-def gen_corner_spheres(sampler, n_samples):
+def _write_gt_surfaces(sampler, info, names, sdfs=None, meshes=None,
+                       n_points=30000):
+    """GT surface point clouds under <data>/SurfaceSamples/... for
+    chamfer/EMD evaluation (the role of the reference's
+    SampleVisibleMeshSurface outputs, src/SampleVisibleMeshSurface.cpp:23,
+    for analytic/tile datasets): level-set extraction of the SDF or
+    area-weighted sampling of the tile mesh."""
+    from deepsdf_tpu.eval.evaluate import (
+        surface_samples_from_sdf, write_surface_samples,
+    )
+    from deepsdf_tpu.metrics.chamfer import sample_surface
+
+    data_root = str(pathlib.Path(sampler.outdir).parent)
+    for i, name in enumerate(names):
+        if sdfs is not None:
+            pts = surface_samples_from_sdf(sdfs[i], n_points=n_points, seed=i)
+        else:
+            verts, faces = meshes[i]
+            pts = sample_surface(verts, faces, n_points,
+                                 np.random.default_rng(i))
+        path = write_surface_samples(data_root, info["dataset_name"],
+                                     info["class_name"], name, pts)
+        print(f"surface samples: {path}")
+
+
+def gen_corner_spheres(sampler, n_samples, surface_samples=False):
     """ref 04_simple_geom_creation.py:24-30."""
     ms = [CornerSpheresSDF(r, limit=0.9) for r in np.linspace(0.4, 1, 20)]
     info = {"dataset_name": "microstructure", "class_name": "corner_spheres"}
     split = sampler.sample_sdfs([m.SDF for m in ms], info, n_samples=n_samples)
     sampler.write_json("corner_spheres_only.json", info, split)
+    if surface_samples:
+        _write_gt_surfaces(sampler, info, split, sdfs=[m.SDF for m in ms])
 
 
-def gen_round_cross(sampler, n_samples):
+def gen_round_cross(sampler, n_samples, surface_samples=False):
     """ref 04_simple_geom_creation.py:9-14."""
     ms = [CrossMsSDF(r) for r in np.linspace(0.1, 0.75, 20)]
     info = {"dataset_name": "microstructure", "class_name": "round_cross"}
     split = sampler.sample_sdfs([m.SDF for m in ms], info, n_samples=n_samples)
     sampler.write_json("round_cross_only.json", info, split)
+    if surface_samples:
+        _write_gt_surfaces(sampler, info, split, sdfs=[m.SDF for m in ms])
 
 
 def _mesh_sdf(verts, faces):
@@ -48,21 +77,26 @@ def _mesh_sdf(verts, faces):
         return SDFfromMesh(vertices=verts.astype(np.float32), faces=faces)
 
 
-def gen_snappy(sampler, n_samples, geometry_dir, resolution=20):
+def gen_snappy(sampler, n_samples, geometry_dir, resolution=20,
+               surface_samples=False):
     """ref 08_facade_microtile_creation.py:19-34 (40 shapes, t∈[0,0.2])."""
     os.makedirs(geometry_dir, exist_ok=True)
-    sdfs = []
+    sdfs, meshes = [], []
     for i, t in enumerate(np.linspace(0, 0.2, 40)):
         verts, faces = Snappy3D().create_surface_mesh(
             parameters=np.array([[t]]), resolution=resolution)
         write_ply(str(pathlib.Path(geometry_dir) / f"snappy_{i}.ply"), verts, faces)
+        meshes.append((verts, faces))
         sdfs.append(_mesh_sdf(verts, faces))
     info = {"dataset_name": "microstructure", "class_name": "snappy3D"}
     split = sampler.sample_sdfs(sdfs, info, n_samples=n_samples)
     sampler.write_json("snappy3D.json", info, split)
+    if surface_samples:
+        _write_gt_surfaces(sampler, info, split, meshes=meshes)
 
 
-def gen_double_lattice(sampler, n_samples, geometry_dir, analytic=True):
+def gen_double_lattice(sampler, n_samples, geometry_dir, analytic=True,
+                       surface_samples=False):
     """ref 10_gen_double_lattice_training_data.py:22-41 (21×21 shapes,
     t1,t2∈[0.05,0.2]). ``analytic`` samples the exact CSG SDF on device;
     otherwise meshes each tile and uses the winding-number SDF."""
@@ -85,6 +119,8 @@ def gen_double_lattice(sampler, n_samples, geometry_dir, analytic=True):
     info = {"dataset_name": "microstructure", "class_name": "double_lattice"}
     split = sampler.sample_sdfs(sdfs, info, n_samples=n_samples)
     sampler.write_json("double_lattice_3D.json", info, split)
+    if surface_samples:
+        _write_gt_surfaces(sampler, info, split, sdfs=sdfs)
 
 
 if __name__ == "__main__":
@@ -97,17 +133,22 @@ if __name__ == "__main__":
     p.add_argument("--geometry-dir", default="data/geometry")
     p.add_argument("--samples", type=float, default=1e5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--surface-samples", action="store_true",
+                   help="also write 30k-point GT surface clouds to "
+                        "<data>/SurfaceSamples for chamfer/EMD evaluation")
     args = p.parse_args()
 
     sampler = SDFSampler(args.outdir, args.splitdir, seed=args.seed)
     for ds in args.datasets:
         if ds == "corner_spheres":
-            gen_corner_spheres(sampler, args.samples)
+            gen_corner_spheres(sampler, args.samples, args.surface_samples)
         elif ds == "round_cross":
-            gen_round_cross(sampler, args.samples)
+            gen_round_cross(sampler, args.samples, args.surface_samples)
         elif ds == "snappy3D":
             gen_snappy(sampler, args.samples,
-                       os.path.join(args.geometry_dir, "snappy_tile"))
+                       os.path.join(args.geometry_dir, "snappy_tile"),
+                       surface_samples=args.surface_samples)
         elif ds == "double_lattice":
             gen_double_lattice(sampler, args.samples,
-                               os.path.join(args.geometry_dir, "double_lattice"))
+                               os.path.join(args.geometry_dir, "double_lattice"),
+                               surface_samples=args.surface_samples)
