@@ -188,3 +188,30 @@ def test_train_step_runs_and_decreases_loss():
             jnp.float32(2e-3), jnp.float32(4e-3), jnp.float32(i + 1), cfg)
         losses.append(float(loss))
     assert np.mean(losses[-10:]) < 0.6 * np.mean(losses[:10]), losses[::30]
+
+
+@pytest.mark.parametrize("width", [32, 64, 512])
+def test_init_predictions_inside_clamp_band(width):
+    """Regression: the final layer's bias is zero-initialized so initial
+    predictions sit inside the +-0.1 clamp band for EVERY width and seed.
+    With the torch bias bound 1/sqrt(fan_in) (0.177 at width 32), an
+    unlucky draw puts all predictions past the clamp where the L1
+    gradient is identically zero and training never starts (the
+    reference's torch.clamp shares the dead zone; its committed runs won
+    the seed lottery)."""
+    config = DecoderConfig(
+        latent_size=2, dims=(width,) * 4, geom_dimension=3,
+        norm_layers=(0, 1, 2, 3), weight_norm=True, latent_in=(2,),
+    )
+    from deepsdf_tpu.networks.decoder import decoder_forward
+
+    rng = np.random.default_rng(0)
+    xyz = jnp.asarray(rng.uniform(-1, 1, (512, 3)).astype(np.float32))
+    lat = jnp.asarray(rng.normal(0, 0.01, (512, 2)).astype(np.float32))
+    inputs = jnp.concatenate([lat, xyz], axis=1)
+    for seed in range(5):
+        params = init_decoder_params(jax.random.PRNGKey(seed), config)
+        pred = np.asarray(decoder_forward(config, params, inputs))
+        assert np.mean(np.abs(pred) < 0.1) > 0.5, (
+            f"width={width} seed={seed}: init predictions escape the clamp "
+            f"band (mean |pred|={np.abs(pred).mean():.3f})")
