@@ -95,11 +95,9 @@ class ElasticitySolver:
         reference's FEM also runs host-side, ref :317-326); ``'jax'``:
         matrix-free block-Jacobi CG on the accelerator."""
         if method == "jax":
-            self.u = np.asarray(solve_elasticity(
-                jnp.asarray(self.vertices, jnp.float32),
-                jnp.asarray(self.tets), self.lam, self.mu,
-                jnp.asarray(self.force, jnp.float32),
-                jnp.asarray(self.ess_mask), rel_tol, max_iter), np.float64)
+            self.u = _solve_jax_refined(self.vertices, self.tets, self.lam,
+                                        self.mu, self.force, self.ess_mask,
+                                        rel_tol, max_iter)
         else:
             self.u = _solve_scipy(self.vertices, self.tets, self.lam, self.mu,
                                   self.force, self.ess_mask, rel_tol, max_iter)
@@ -254,16 +252,89 @@ def _block_jacobi_diag(verts, tets, lam, mu, ess_mask):
     return acc
 
 
+def _apply_operator_np(u, gN, vol, tets, lam, mu, ess_mask):
+    """float64 numpy mirror of _apply_operator (for refinement residuals)."""
+    u0 = np.where(ess_mask[:, None], 0.0, u)
+    grad = np.einsum("tai,taj->tij", u0[tets], gN)
+    div = np.trace(grad, axis1=1, axis2=2)
+    eye = np.eye(3)
+    sigma = lam * div[:, None, None] * eye + mu * (grad + np.swapaxes(grad, 1, 2))
+    f_e = np.einsum("t,tij,taj->tai", vol, sigma, gN)
+    y = np.zeros_like(u)
+    np.add.at(y, tets.reshape(-1), f_e.reshape(-1, 3))
+    return np.where(ess_mask[:, None], u, y)
+
+
+def _solve_jax_refined(verts, tets, lam, mu, force, ess_mask,
+                       rel_tol: float = 1e-10, max_iter: int = 10000,
+                       max_rounds: int = 6) -> np.ndarray:
+    """Accelerator CG with float64 iterative refinement.
+
+    TPUs have no native f64, and a single f32 CG stalls ~1e-6 relative
+    residual — far short of the reference's 1e-10 MFEM solve (ref
+    :317-326). Refinement closes the gap: each round runs a f32
+    block-Jacobi CG on the accelerator against the TRUE f64 residual
+    (cheap host matvec, once per round), so the f64 defect shrinks by
+    ~1e-6 per round while all the heavy lifting stays on device."""
+    gN64, vol64 = _grad_shape_np(verts, tets)
+    vol64 = np.abs(vol64)
+    b = np.where(ess_mask[:, None], 0.0, force)
+    bnorm = np.linalg.norm(b) + 1e-300
+
+    vj = jnp.asarray(verts, jnp.float32)
+    tj = jnp.asarray(tets)
+    mj = jnp.asarray(ess_mask)
+
+    x = np.zeros_like(b)
+    inner_tol = max(rel_tol, 1e-6)
+    for round_ in range(max_rounds):
+        r = b - _apply_operator_np(x, gN64, vol64, tets, lam, mu, ess_mask)
+        relres = np.linalg.norm(r) / bnorm
+        if relres <= rel_tol:
+            break
+        # unit-normalize the rhs: late-round residuals are tiny and
+        # would underflow f32 norms inside the device CG (CG is linear)
+        rnorm = np.linalg.norm(r)
+        d, it = solve_elasticity(vj, tj, lam, mu,
+                                 jnp.asarray(r / rnorm, jnp.float32), mj,
+                                 inner_tol, max_iter)
+        logger.debug("refinement round %d: relres %.3e, %d CG iterations",
+                     round_, relres, int(it))
+        x = x + rnorm * np.asarray(d, np.float64)
+    else:
+        logger.warning("refined CG stalled at relres %.3e", relres)
+    return x
+
+
 @partial(jax.jit, static_argnames=("max_iter",))
 def solve_elasticity(verts, tets, lam, mu, force, ess_mask,
                      rel_tol: float = 1e-10, max_iter: int = 10000):
-    """Preconditioned CG on the masked operator."""
+    """Preconditioned CG on the masked operator; returns (x, iterations).
+
+    Element geometry (shape gradients, volumes, preconditioner blocks)
+    is computed ONCE outside the while_loop — only the O(T) stress
+    matvec runs per iteration."""
     b = jnp.where(ess_mask[:, None], 0.0, force)
-    blocks = _block_jacobi_diag(verts, tets, lam, mu, ess_mask)
-    pinv = jnp.linalg.inv(blocks)
+    gN, vol = _grad_shape(verts, tets)
+    vol = jnp.abs(vol)
+    eye = jnp.eye(3, dtype=b.dtype)
+    outer = jnp.einsum("tai,taj->taij", gN, gN)
+    dots = jnp.einsum("tai,tai->ta", gN, gN)
+    blocks = ((lam + mu) * outer
+              + mu * dots[..., None, None] * eye) * vol[:, None, None, None]
+    acc = jnp.zeros((verts.shape[0], 3, 3), b.dtype).at[tets.reshape(-1)].add(
+        blocks.reshape(-1, 3, 3))
+    acc = jnp.where(ess_mask[:, None, None], eye[None], acc)
+    pinv = jnp.linalg.inv(acc)
 
     def A(u):
-        return _apply_operator(u, verts, tets, lam, mu, ess_mask)
+        u0 = jnp.where(ess_mask[:, None], 0.0, u)
+        grad = _element_strain(u0[tets], gN)
+        div = jnp.trace(grad, axis1=1, axis2=2)
+        sigma = lam * div[:, None, None] * eye + mu * (grad + jnp.swapaxes(grad, 1, 2))
+        f_e = jnp.einsum("t,tij,taj->tai", vol, sigma, gN)
+        y = jnp.zeros_like(u).at[tets.reshape(-1)].add(f_e.reshape(-1, 3))
+        return jnp.where(ess_mask[:, None], u, y)
 
     def M(r):
         return jnp.einsum("vij,vj->vi", pinv, r)
@@ -291,4 +362,4 @@ def solve_elasticity(verts, tets, lam, mu, force, ess_mask,
 
     x, r, z, p, rz, it = jax.lax.while_loop(
         cond, body, (x0, r0, z0, r0 * 0 + z0, jnp.sum(r0 * z0), 0))
-    return x
+    return x, it
