@@ -66,6 +66,41 @@ class struct_optimization:
         self.logger = logging.getLogger(__name__)
         self.geometry = DeepSDFMesh(self.options["mesh"],
                                     experiment_location=experiment_location)
+        self._warm = None  # (sorted grid-identity keys, u rows) of last solve
+
+    # ---- FEM warm start across design iterations ----
+    #
+    # Every stuffed mesh lives on the SAME reconstruction grid, so a
+    # vertex's (edge_lo, edge_hi) pair is a persistent identity across
+    # design changes (grid vertices have lo == hi). MMA's ±0.1 move
+    # limit keeps consecutive geometries close, so the previous
+    # displacement field is an excellent initial iterate for the
+    # refined CG — new vertices (fresh crossings/centroids) start at 0.
+
+    def _mesh_keys(self):
+        m = self.geometry.volumes
+        npts = int(np.prod(self.geometry._dims))
+        keys = m.edge_lo.astype(np.int64) * npts + m.edge_hi
+        # centroids (edge_lo == -1) have no persistent identity; their
+        # negative keys are excluded from matching (warm-start at zero)
+        return keys
+
+    def _store_warm_start(self, u):
+        keys = self._mesh_keys()
+        order = np.argsort(keys)
+        self._warm = (keys[order], np.asarray(u)[order])
+
+    def _warm_start_field(self):
+        if self._warm is None or self.fem_method != "jax":
+            return None
+        pkeys, pu = self._warm
+        keys = self._mesh_keys()
+        pos = np.searchsorted(pkeys, keys)
+        pos_c = np.clip(pos, 0, len(pkeys) - 1)
+        hit = (pkeys[pos_c] == keys) & (keys >= 0)
+        u0 = np.zeros((len(keys), 3))
+        u0[hit] = pu[pos_c[hit]]
+        return u0
 
     # ---- paths ----
 
@@ -178,10 +213,11 @@ class struct_optimization:
             der_vol = 0
         if np.any(np.isnan(der_vol)):
             self.logger.warning("Nan detected in volume derivative.")
-        beam.solve(method=self.fem_method)
+        beam.solve(method=self.fem_method, u0=self._warm_start_field())
         compliance, der_compliance = beam.compute_compliance(dTheta=dTheta)
         if der_compliance is None:
             der_compliance = 0
+        self._store_warm_start(beam.u_data)
 
         vol_constraint = self.options["general"]["volume_constraint"]
         self.cache[self._key(control_point_values)] = {

@@ -90,14 +90,23 @@ class ElasticitySolver:
     # ---- solve ----
 
     def solve(self, rel_tol: float = 1e-10, max_iter: int = 10000,
-              method: str = "scipy"):
+              method: str = "scipy", u0=None):
         """``method='scipy'``: float64 sparse-assembled CG on host (the
         reference's FEM also runs host-side, ref :317-326); ``'jax'``:
-        matrix-free block-Jacobi CG on the accelerator."""
+        matrix-free block-Jacobi CG on the accelerator. ``u0`` warm-starts
+        the refinement (e.g. the previous optimization iterate's field)."""
+        if not self.ess_mask.any():
+            # no essential dofs: pure-Neumann elasticity is singular
+            # (rigid-body modes) — diverging CG would mask the real
+            # problem, usually a structure detached from the fixed plane
+            raise ValueError(
+                "no essential boundary vertices — the structure does not "
+                "reach the fixed-BC plane (marker 1); the FEM system is "
+                "singular")
         if method == "jax":
             self.u = _solve_jax_refined(self.vertices, self.tets, self.lam,
                                         self.mu, self.force, self.ess_mask,
-                                        rel_tol, max_iter)
+                                        rel_tol, max_iter, x0=u0)
         else:
             self.u = _solve_scipy(self.vertices, self.tets, self.lam, self.mu,
                                   self.force, self.ess_mask, rel_tol, max_iter)
@@ -267,7 +276,7 @@ def _apply_operator_np(u, gN, vol, tets, lam, mu, ess_mask):
 
 def _solve_jax_refined(verts, tets, lam, mu, force, ess_mask,
                        rel_tol: float = 1e-10, max_iter: int = 10000,
-                       max_rounds: int = 6) -> np.ndarray:
+                       max_rounds: int = 6, x0=None) -> np.ndarray:
     """Accelerator CG with float64 iterative refinement.
 
     TPUs have no native f64, and a single f32 CG stalls ~1e-6 relative
@@ -286,6 +295,13 @@ def _solve_jax_refined(verts, tets, lam, mu, force, ess_mask,
     mj = jnp.asarray(ess_mask)
 
     x = np.zeros_like(b)
+    if x0 is not None:
+        cand = np.where(ess_mask[:, None], 0.0, np.asarray(x0, np.float64))
+        r0 = b - _apply_operator_np(cand, gN64, vol64, tets, lam, mu, ess_mask)
+        # a transferred field can carry interface discontinuities that
+        # inflate the residual — keep it only if it actually starts closer
+        if np.linalg.norm(r0) < bnorm:
+            x = cand
     inner_tol = max(rel_tol, 1e-6)
     for round_ in range(max_rounds):
         r = b - _apply_operator_np(x, gN64, vol64, tets, lam, mu, ess_mask)
@@ -325,6 +341,10 @@ def solve_elasticity(verts, tets, lam, mu, force, ess_mask,
     acc = jnp.zeros((verts.shape[0], 3, 3), b.dtype).at[tets.reshape(-1)].add(
         blocks.reshape(-1, 3, 3))
     acc = jnp.where(ess_mask[:, None, None], eye[None], acc)
+    # vertices referenced by no tet (e.g. after orphan removal) have a
+    # zero block — pin them to identity like the scipy path's d[d==0]=1
+    unref = jnp.abs(acc).sum(axis=(1, 2)) == 0
+    acc = jnp.where(unref[:, None, None], eye[None], acc)
     pinv = jnp.linalg.inv(acc)
 
     def A(u):
@@ -346,20 +366,25 @@ def solve_elasticity(verts, tets, lam, mu, force, ess_mask,
     tol2 = rel_tol ** 2 * bnorm2
 
     def cond(state):
-        x, r, z, p, rz, it = state
-        return (jnp.sum(r * r) > tol2) & (it < max_iter)
+        x, r, z, p, rz, it, ok = state
+        return (jnp.sum(r * r) > tol2) & (it < max_iter) & ok
 
     def body(state):
-        x, r, z, p, rz, it = state
+        x, r, z, p, rz, it, ok = state
         Ap = A(p)
-        alpha = rz / (jnp.sum(p * Ap) + 1e-300)
+        pAp = jnp.sum(p * Ap)
+        # f32 breakdown guard: A is SPD, so pAp <= 0 (or rz <= 0) means
+        # rounding noise has taken over — stop and let the f64 refinement
+        # wrapper restart from the true residual
+        good = (pAp > 0) & (rz > 0)
+        alpha = jnp.where(good, rz / jnp.where(good, pAp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
         rz_new = jnp.sum(r * z)
-        p = z + (rz_new / (rz + 1e-300)) * p
-        return x, r, z, p, rz_new, it + 1
+        p = z + jnp.where(good, rz_new / jnp.where(good, rz, 1.0), 0.0) * p
+        return x, r, z, p, rz_new, it + 1, good
 
-    x, r, z, p, rz, it = jax.lax.while_loop(
-        cond, body, (x0, r0, z0, r0 * 0 + z0, jnp.sum(r0 * z0), 0))
+    x, r, z, p, rz, it, ok = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, r0 * 0 + z0, jnp.sum(r0 * z0), 0, jnp.bool_(True)))
     return x, it

@@ -54,8 +54,8 @@ class CantileverBeam:
         solver.set_surface_load(load_faces, self.SURFACE_LOAD)
         self.solver = solver
 
-    def solve(self, method: str = "scipy") -> None:
-        self.solver.solve(method=method)
+    def solve(self, method: str = "scipy", u0=None) -> None:
+        self.solver.solve(method=method, u0=u0)
         u = np.asarray(self.solver.u)
         self.u_data = u
         logger.debug("Finished solution. Max |u|: %g", np.abs(u).max())

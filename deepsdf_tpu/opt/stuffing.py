@@ -183,7 +183,16 @@ def stuff_sdf_grid(field: np.ndarray, spacing, origin,
     va, vb = Ff[u_lo], Ff[u_hi]
     with np.errstate(divide="ignore", invalid="ignore"):
         t = np.where(is_grid, 0.0, va / (va - vb))
+    # clamp crossings away from grid vertices: a crossing at t→0/1 makes
+    # sliver tets whose stiffness blocks push the condition number past
+    # what even preconditioned f64 CG enjoys (and f32 CG diverges on).
+    # Bounded t bounds the element aspect ratio (the role of Labelle &
+    # Shewchuk's warping rule in isosurface stuffing) at an O(eps·h)
+    # surface-position cost — FEM-mesh-only; the render/extraction
+    # surface (mesh/marching.py) keeps exact crossings.
+    eps = 0.05
     t = np.clip(np.nan_to_num(t, nan=0.5), 0.0, 1.0)
+    t = np.where(is_grid, 0.0, np.clip(t, eps, 1.0 - eps))
 
     def coords_of(flat):
         i = flat // (ny * nz)

