@@ -55,6 +55,18 @@ def evaluate(experiment_directory: str, checkpoint: str, data_source: str,
     (+ .csv like upstream). With ``with_emd``, also fills the
     ``Evaluation/<ckpt>/emd`` slot the reference reserves but never
     implemented (README.md:69) — Sinkhorn EMD on 2048-pt subsamples."""
+    if checkpoint == "latest":
+        # reconstructions live under the resolved epoch directory
+        # (reconstruct.py names it like upstream: Reconstructions/<epoch>/)
+        import glob as _glob
+        epochs = sorted(
+            (int(os.path.basename(p)) for p in
+             _glob.glob(os.path.join(experiment_directory,
+                                     ws.reconstructions_subdir, "*"))
+             if os.path.basename(p).isdigit()))
+        if epochs:
+            checkpoint = str(epochs[-1])
+
     results: dict[str, float] = {}
     emd_results: dict[str, float] = {}
     for dataset in split:
