@@ -175,15 +175,26 @@ def marching_tetrahedra(volume: np.ndarray, level: float = 0.0,
     area2 = np.linalg.norm(np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]), axis=1)
     faces = faces[area2 > 1e-300]
 
-    # vertex normals from field gradient (toward +field)
-    gx, gy, gz = np.gradient(F, *[s for s in sp])
+    # vertex normals from field gradient (toward +field) — central
+    # differences evaluated ONLY at the crossing-edge endpoints (the
+    # formula np.gradient applies everywhere, incl. its one-sided
+    # boundary stencil, which index clamping reproduces exactly); a
+    # full-volume np.gradient was ~3 s and 3 volume-sized temporaries
+    # at 256³ for ~2·#verts needed values.
     idx_lo = np.stack([u_lo // (ny * nz), (u_lo // nz) % ny, u_lo % nz], 1)
     idx_hi = np.stack([u_hi // (ny * nz), (u_hi // nz) % ny, u_hi % nz], 1)
+    dims = (nx, ny, nz)
 
     def grad_at(idx):
-        return np.stack([gx[idx[:, 0], idx[:, 1], idx[:, 2]],
-                         gy[idx[:, 0], idx[:, 1], idx[:, 2]],
-                         gz[idx[:, 0], idx[:, 1], idx[:, 2]]], 1)
+        out = np.empty((len(idx), 3))
+        for a in range(3):
+            ip = np.minimum(idx[:, a] + 1, dims[a] - 1)
+            im = np.maximum(idx[:, a] - 1, 0)
+            cols = [idx[:, 0], idx[:, 1], idx[:, 2]]
+            cols_p = list(cols); cols_p[a] = ip
+            cols_m = list(cols); cols_m[a] = im
+            out[:, a] = (F[tuple(cols_p)] - F[tuple(cols_m)]) / ((ip - im) * sp[a])
+        return out
 
     normals = grad_at(idx_lo) * (1 - t[:, None]) + grad_at(idx_hi) * t[:, None]
     norm = np.linalg.norm(normals, axis=1, keepdims=True)
