@@ -17,7 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..networks.decoder import DecoderConfig
-from .grid_eval import eval_sdf_grid, grid_coords
+from .grid_eval import eval_sdf_grid, eval_sdf_grid_sparse, grid_coords
 from .marching import marching_cubes
 from .ply import write_ply
 
@@ -26,19 +26,26 @@ logger = logging.getLogger(__name__)
 
 def create_mesh(config: DecoderConfig, params, latent_vec, filename: str | None,
                 N: int = 256, max_batch: int = 32 ** 3, offset=None, scale=None,
-                return_mesh: bool = False):
+                return_mesh: bool = False, sparse: bool = False,
+                fused: bool = False):
     """Reconstruct a shape from one latent code (ref: mesh.py:26-85).
 
     Grid: N³ over [-1,1]³, voxel_size 2/(N-1), origin (-1,-1,-1).
     Writes ``filename`` (.ply appended if missing) unless None.
+    ``sparse`` decodes only the surface band (see
+    ``eval_sdf_grid_sparse``); ``fused`` uses the Pallas kernel.
     """
     start = time.time()
     voxel_origin = [-1.0, -1.0, -1.0]
     voxel_size = 2.0 / (N - 1)
 
-    coords = grid_coords(N, voxel_origin, voxel_size)
-    sdf = eval_sdf_grid(config, params, jnp.asarray(latent_vec).reshape(-1),
-                        coords, chunk=max_batch)
+    if sparse and N % 4 == 0:
+        sdf = eval_sdf_grid_sparse(config, params, latent_vec, N,
+                                   chunk=max_batch, fused=fused)
+    else:
+        coords = grid_coords(N, voxel_origin, voxel_size)
+        sdf = eval_sdf_grid(config, params, jnp.asarray(latent_vec).reshape(-1),
+                            coords, chunk=max_batch, fused=fused)
     sdf_grid = np.asarray(sdf, dtype=np.float64).reshape(N, N, N)
     logger.debug("sampling takes: %f", time.time() - start)
 

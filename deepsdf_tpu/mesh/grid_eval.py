@@ -81,6 +81,123 @@ def eval_sdf_grid(config: DecoderConfig, params, latent_vec: jax.Array,
     return out.reshape(-1)[:M]
 
 
+@partial(jax.jit, static_argnames=("config", "Nc", "c", "chunk", "fused"))
+def _eval_active_blocks(config: DecoderConfig, params, latent_vec: jax.Array,
+                        block_ids: jax.Array, Nc: int, c: int,
+                        voxel_origin: jax.Array, voxel_size: jax.Array,
+                        chunk: int, fused: bool) -> jax.Array:
+    """Decode the c³ fine grid points of each listed coarse block.
+
+    ``block_ids``: (K,) flat coarse ids (x-major over an Nc³ block
+    grid); returns (K, c³) SDF values in (oi, oj, ok) x-major offset
+    order. Coordinates are built on device — the host ships only the
+    (K,) id list."""
+    bi = block_ids // (Nc * Nc)
+    bj = (block_ids // Nc) % Nc
+    bk = block_ids % Nc
+    off = jnp.arange(c ** 3)
+    oi, oj, ok = off // (c * c), (off // c) % c, off % c
+    fi = bi[:, None] * c + oi[None, :]
+    fj = bj[:, None] * c + oj[None, :]
+    fk = bk[:, None] * c + ok[None, :]
+    pts = jnp.stack([fi, fj, fk], axis=-1).reshape(-1, 3) * voxel_size + voxel_origin
+    out = eval_sdf_grid(config, params, latent_vec, pts, chunk=chunk, fused=fused)
+    return out.reshape(-1, c ** 3)
+
+
+def eval_sdf_grid_sparse(config: DecoderConfig, params, latent_vec, N: int,
+                         *, coarse: int = 4, chunk: int = 32768,
+                         fused: bool = False, margin: float = 2.0,
+                         voxel_origin=(-1.0, -1.0, -1.0), voxel_size=None,
+                         return_info: bool = False):
+    """Two-level dense-grid evaluation: decode only the surface band.
+
+    The dense N³ pass (ref: deep_sdf/mesh.py:59-70 evaluates every
+    grid point) wastes almost all FLOPs on far-field points whose
+    value the level-0 extraction never reads. Instead:
+
+    1. decode the Nc³ (Nc = N/coarse) block-center coarse grid;
+    2. mark blocks with |value| ≤ margin · (block half-diagonal)
+       active and dilate the mask by one block (3³ box) so every
+       crossing edge AND its normal stencil stay inside exact data;
+    3. decode the c³ fine points of active blocks only (one jitted
+       program per power-of-two block-count bucket — buckets hit the
+       compile cache across the meshes of a reconstruction sweep);
+    4. fill inactive blocks with their coarse value (same sign, no
+       crossings inside by construction).
+
+    Returns a flat (N³,) float32 numpy array, same layout as
+    ``eval_sdf_grid`` (decoded values match the dense pass to f32
+    round-off — different XLA batch groupings reorder reductions by
+    ~1 ULP). Typical active fraction at N=256 is 5–25%, a 4–10× FLOP
+    cut; below N≈192 the band covers most blocks and the function
+    falls back to dense. Requires a single (L,) latent and
+    N % coarse == 0; ``margin`` times the half-diagonal must stay
+    below the decoder's far-field plateau (the training
+    ClampingDistance, 0.1 for every reference recipe — defaults give
+    0.041 at N=256). With ``return_info`` also returns
+    {"active_frac", "count", "fallback", "mask"}.
+    """
+    c = int(coarse)
+    if N % c:
+        raise ValueError(f"N={N} not divisible by coarse={c}")
+    Nc = N // c
+    if voxel_size is None:
+        voxel_size = 2.0 / (N - 1)
+    latent_vec = jnp.asarray(latent_vec).reshape(-1)
+    h = float(voxel_size)
+    origin = np.asarray(voxel_origin, dtype=np.float32)
+
+    # --- coarse pass at block centers ---
+    center_off = (c - 1) / 2.0
+    idx = jnp.arange(Nc ** 3)
+    ci, cj, ck = idx // (Nc * Nc), (idx // Nc) % Nc, idx % Nc
+    ccoords = (jnp.stack([ci, cj, ck], axis=1) * c + center_off) * h + origin
+    vals_c = np.asarray(eval_sdf_grid(config, params, latent_vec, ccoords,
+                                      chunk=chunk, fused=fused), np.float32)
+
+    half_diag = (c - 1) / 2.0 * h * float(np.sqrt(3.0))
+    mask = (np.abs(vals_c) <= margin * half_diag).reshape(Nc, Nc, Nc)
+    for a in range(3):  # 3³ box dilation
+        m = mask.copy()
+        sl_lo = [slice(None)] * 3
+        sl_hi = [slice(None)] * 3
+        sl_lo[a], sl_hi[a] = slice(1, None), slice(None, -1)
+        m[tuple(sl_lo)] |= mask[tuple(sl_hi)]
+        m[tuple(sl_hi)] |= mask[tuple(sl_lo)]
+        mask = m
+    active = np.flatnonzero(mask.ravel())
+    count = active.size
+
+    info = {"active_frac": count / Nc ** 3, "count": count,
+            "fallback": False, "mask": mask}
+
+    def _ret(field):
+        return (field, info) if return_info else field
+
+    base = np.broadcast_to(
+        vals_c.reshape(Nc, 1, Nc, 1, Nc, 1), (Nc, c, Nc, c, Nc, c)).copy()
+    if count == 0:
+        return _ret(base.reshape(-1))
+    if count > (3 * Nc ** 3) // 4:  # band covers the grid — dense is cheaper
+        info["fallback"] = True
+        coords = grid_coords(N, tuple(origin), h)
+        return _ret(np.asarray(eval_sdf_grid(config, params, latent_vec, coords,
+                                             chunk=chunk, fused=fused), np.float32))
+
+    K = max(1024, 1 << int(np.ceil(np.log2(count))))
+    K = min(K, Nc ** 3)
+    ids = np.zeros(K, dtype=np.int32)
+    ids[:count] = active  # tail duplicates block 0: recomputed, same values
+    fine = np.asarray(_eval_active_blocks(
+        config, params, latent_vec, jnp.asarray(ids), Nc, c,
+        jnp.asarray(origin), jnp.float32(h), chunk, fused), np.float32)
+
+    bi, bj, bk = active // (Nc * Nc), (active // Nc) % Nc, active % Nc
+    base[bi, :, bj, :, bk, :] = fine[:count].reshape(count, c, c, c)
+    return _ret(base.reshape(-1))
+
+
 def eval_sdf_grid_sharded(config, params, latent_vec, coords, mesh,
                           axis: str = "data", chunk: int = 32768):
     """Shard the flattened grid over ``mesh[axis]``; params/latent are

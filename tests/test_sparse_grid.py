@@ -1,0 +1,110 @@
+"""Sparse two-level grid eval (mesh/grid_eval.py::eval_sdf_grid_sparse)
+must reproduce the dense extraction exactly: all crossing edges live in
+the dilated active band where values are decoded, not interpolated.
+Runs on the committed corner_spheres trained fixture (real decoder)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+EXP = os.path.join(os.path.dirname(__file__), "..",
+                   "experiments", "corner_spheres_only_small_network")
+
+
+@pytest.fixture(scope="module")
+def fixture_model():
+    if not os.path.isdir(os.path.join(EXP, "ModelParameters")):
+        pytest.skip("trained fixture not present")
+    from deepsdf_tpu.networks.decoder import DecoderConfig
+    from deepsdf_tpu.train.checkpoint import load_latent_vectors, load_model_parameters
+    from deepsdf_tpu.workspace import load_experiment_specifications
+
+    specs = load_experiment_specifications(EXP)
+    config = DecoderConfig.from_specs(specs)
+    params, _ = load_model_parameters(EXP, "1000", config)
+    latents, _ = load_latent_vectors(EXP, "1000")
+    return config, params, np.asarray(latents)
+
+
+def test_sparse_fallback_when_band_covers_grid(fixture_model):
+    """Fat blocks (threshold ≥ clamp plateau) must fall back to the
+    dense pass and return bit-identical values."""
+    from deepsdf_tpu.mesh.grid_eval import (eval_sdf_grid, eval_sdf_grid_sparse,
+                                            grid_coords)
+
+    config, params, latents = fixture_model
+    lat = jnp.asarray(latents[3])
+    N = 128
+    dense = np.asarray(eval_sdf_grid(config, params, lat, grid_coords(N)),
+                       np.float32)
+    sparse, info = eval_sdf_grid_sparse(config, params, lat, N, coarse=8,
+                                        return_info=True)
+    assert info["fallback"]
+    np.testing.assert_array_equal(sparse, dense)
+
+
+@pytest.mark.parametrize("N,coarse", [(128, 4)])
+def test_sparse_matches_dense_in_band_and_mesh(fixture_model, N, coarse):
+    from deepsdf_tpu.mesh.grid_eval import (eval_sdf_grid, eval_sdf_grid_sparse,
+                                            grid_coords)
+    from deepsdf_tpu.mesh.marching import marching_tetrahedra
+
+    config, params, latents = fixture_model
+    lat = jnp.asarray(latents[3])
+    dense = np.asarray(eval_sdf_grid(config, params, lat, grid_coords(N)),
+                       np.float32)
+    sparse, info = eval_sdf_grid_sparse(config, params, lat, N, coarse=coarse,
+                                        return_info=True)
+    assert not info["fallback"]
+    assert 0.0 < info["active_frac"] < 0.76
+
+    c = coarse
+    Nc = N // c
+    decoded = np.broadcast_to(
+        info["mask"].reshape(Nc, 1, Nc, 1, Nc, 1),
+        (Nc, c, Nc, c, Nc, c)).reshape(-1)
+    # decoded points match dense to f32 round-off (different XLA batch
+    # groupings reorder reductions by ~1 ULP)
+    np.testing.assert_allclose(sparse[decoded], dense[decoded], atol=1e-6)
+    # plateau fills never flip the sign (no spurious/missing crossings)
+    fills = ~decoded
+    assert (np.sign(sparse[fills]) == np.sign(dense[fills])).all()
+    # fills stay clear of the surface: dense values there exceed the
+    # fine-cell diagonal, so no dense crossing is lost
+    assert np.abs(dense[fills]).min() > np.sqrt(3) * 2.0 / (N - 1)
+
+    sp = (2.0 / (N - 1),) * 3
+    vd, fd, nd, _ = marching_tetrahedra(dense.reshape(N, N, N), spacing=sp)
+    vs, fs, ns, _ = marching_tetrahedra(np.asarray(sparse, np.float64).reshape(N, N, N),
+                                        spacing=sp)
+    assert vd.shape[0] > 100  # non-trivial surface
+    np.testing.assert_array_equal(fd, fs)
+    # ULP-level field noise moves crossing parameters by O(eps/|va-vb|)
+    np.testing.assert_allclose(vs, vd, atol=5e-4)
+    np.testing.assert_allclose(ns, nd, atol=5e-3)
+
+
+def test_sparse_empty_and_shape_guards(fixture_model):
+    from deepsdf_tpu.mesh.grid_eval import eval_sdf_grid_sparse
+
+    config, params, latents = fixture_model
+    with pytest.raises(ValueError):
+        eval_sdf_grid_sparse(config, params, jnp.asarray(latents[0]), 66, coarse=4)
+
+
+def test_create_mesh_sparse_flag(fixture_model, tmp_path):
+    from deepsdf_tpu.mesh.extract import create_mesh
+    from deepsdf_tpu.mesh.ply import read_ply
+
+    config, params, latents = fixture_model
+    out_d = tmp_path / "dense.ply"
+    out_s = tmp_path / "sparse.ply"
+    create_mesh(config, params, latents[0], str(out_d), N=64)
+    create_mesh(config, params, latents[0], str(out_s), N=64, sparse=True)
+    vd, fd = read_ply(str(out_d))
+    vs, fs = read_ply(str(out_s))
+    np.testing.assert_array_equal(fd, fs)
+    np.testing.assert_allclose(vs, vd, atol=5e-4)
