@@ -30,7 +30,8 @@ def reconstruct_split(experiment_directory: str, checkpoint: str, split: dict,
                       data_source: str | None = None, num_samples: int = 8000,
                       skip: bool = True, mesh_resolution: int = 256,
                       seed: int = 0, rcfg: ReconstructConfig = ReconstructConfig(),
-                      write_meshes: bool = True) -> dict[str, np.ndarray]:
+                      write_meshes: bool = True,
+                      sparse: bool = False) -> dict[str, np.ndarray]:
     """Infer latents for every instance in ``split``; write codes and
     (optionally) 256³ meshes under Reconstructions/<epoch>/.
 
@@ -70,7 +71,8 @@ def reconstruct_split(experiment_directory: str, checkpoint: str, split: dict,
             if skip and os.path.isfile(mesh_path):
                 continue
             os.makedirs(os.path.dirname(mesh_path), exist_ok=True)
-            create_mesh(config, params, lat, mesh_path, N=mesh_resolution)
+            create_mesh(config, params, lat, mesh_path, N=mesh_resolution,
+                        sparse=sparse)
     return out
 
 

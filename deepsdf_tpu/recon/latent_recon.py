@@ -44,7 +44,8 @@ def reconstruct_training_latents(experiment_directory: str, checkpoint: str,
                                  N: int = 256, max_batch: int = 32 ** 3,
                                  interpolation_indices=(1, 2, 3, 4, 5, 6, 7, 8),
                                  interpolation_steps: int = 11,
-                                 skip_existing: bool = True) -> list[str]:
+                                 skip_existing: bool = True,
+                                 sparse: bool = False) -> list[str]:
     """Full driver parity with create_ply_files_from_latent.main."""
     config, params, latents = _load(experiment_directory, checkpoint)
     written = []
@@ -57,7 +58,8 @@ def reconstruct_training_latents(experiment_directory: str, checkpoint: str,
             logger.info("Skipping %s", fname)
             continue
         logger.info("Reconstructing %s (%d/%d)", fname, i, len(latents))
-        create_mesh(config, params, latent, str(fname), N=N, max_batch=max_batch)
+        create_mesh(config, params, latent, str(fname), N=N, max_batch=max_batch,
+                    sparse=sparse)
         written.append(str(fname))
 
     # interpolation sweeps between consecutive latent pairs (ref :59-97)
@@ -71,6 +73,7 @@ def reconstruct_training_latents(experiment_directory: str, checkpoint: str,
             os.makedirs(fname.parent, exist_ok=True)
             if skip_existing and fname.is_file():
                 continue
-            create_mesh(config, params, latent_in, str(fname), N=N, max_batch=max_batch)
+            create_mesh(config, params, latent_in, str(fname), N=N,
+                        max_batch=max_batch, sparse=sparse)
             written.append(str(fname))
     return written

@@ -22,6 +22,8 @@ if __name__ == "__main__":
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--skip", action="store_true", help="skip existing meshes")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sparse", action="store_true",
+                   help="two-level surface-band grid eval for the meshes")
     deepsdf_tpu.utils.add_common_args(p)
     args = p.parse_args()
     deepsdf_tpu.utils.configure_logging(args)
@@ -34,4 +36,4 @@ if __name__ == "__main__":
         args.experiment_directory, args.checkpoint, split,
         data_source=args.data_source, skip=args.skip,
         mesh_resolution=args.resolution, seed=args.seed,
-        rcfg=ReconstructConfig(num_iterations=args.iters))
+        rcfg=ReconstructConfig(num_iterations=args.iters), sparse=args.sparse)
