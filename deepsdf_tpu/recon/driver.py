@@ -18,7 +18,7 @@ import numpy as np
 
 from .. import workspace as ws
 from ..data.dataset import get_instance_filenames, unpack_sdf_samples
-from ..mesh.extract import create_mesh
+from ..mesh.extract import create_mesh, create_meshes_pipelined
 from ..train.checkpoint import load_model_parameters
 from ..networks.decoder import DecoderConfig
 from .reconstruct import ReconstructConfig, reconstruct_batch
@@ -57,6 +57,7 @@ def reconstruct_split(experiment_directory: str, checkpoint: str, split: dict,
     logger.info("reconstructed %d shapes, mean loss %.5f", len(files), losses.mean())
 
     out = {}
+    jobs = []
     for f, lat, loss in zip(files, latents, losses):
         rel = os.path.splitext(f)[0]
         dataset, class_name, instance = pathlib.Path(rel).parts[-3:]
@@ -71,8 +72,16 @@ def reconstruct_split(experiment_directory: str, checkpoint: str, split: dict,
             if skip and os.path.isfile(mesh_path):
                 continue
             os.makedirs(os.path.dirname(mesh_path), exist_ok=True)
-            create_mesh(config, params, lat, mesh_path, N=mesh_resolution,
-                        sparse=sparse)
+            jobs.append((lat, mesh_path))
+    if jobs:
+        done = {"n": 0}
+
+        def progress(fname):
+            done["n"] += 1
+            logger.info("wrote %s (%d/%d)", fname, done["n"], len(jobs))
+
+        create_meshes_pipelined(config, params, jobs, N=mesh_resolution,
+                                sparse=sparse, on_done=progress)
     return out
 
 

@@ -15,7 +15,7 @@ import pathlib
 import numpy as np
 
 from .. import workspace as ws
-from ..mesh.extract import create_mesh
+from ..mesh.extract import create_mesh, create_meshes_pipelined
 from ..networks.decoder import DecoderConfig
 from ..train.checkpoint import load_latent_vectors, load_model_parameters
 
@@ -48,8 +48,10 @@ def reconstruct_training_latents(experiment_directory: str, checkpoint: str,
                                  sparse: bool = False) -> list[str]:
     """Full driver parity with create_ply_files_from_latent.main."""
     config, params, latents = _load(experiment_directory, checkpoint)
-    written = []
 
+    # assemble the sweep, then extract with the pipelined helper (next
+    # grid eval dispatches while the previous mesh marches on host)
+    jobs = []
     for i, latent in enumerate(latents):
         fname = pathlib.Path(ws.get_reconstructed_mesh_filename(
             experiment_directory, checkpoint, "latent_recon", "all", f"{i}"))
@@ -57,10 +59,7 @@ def reconstruct_training_latents(experiment_directory: str, checkpoint: str,
         if skip_existing and fname.is_file():
             logger.info("Skipping %s", fname)
             continue
-        logger.info("Reconstructing %s (%d/%d)", fname, i, len(latents))
-        create_mesh(config, params, latent, str(fname), N=N, max_batch=max_batch,
-                    sparse=sparse)
-        written.append(str(fname))
+        jobs.append((latent, str(fname)))
 
     # interpolation sweeps between consecutive latent pairs (ref :59-97)
     idx = [i for i in interpolation_indices if i < len(latents)]
@@ -73,7 +72,14 @@ def reconstruct_training_latents(experiment_directory: str, checkpoint: str,
             os.makedirs(fname.parent, exist_ok=True)
             if skip_existing and fname.is_file():
                 continue
-            create_mesh(config, params, latent_in, str(fname), N=N,
-                        max_batch=max_batch, sparse=sparse)
-            written.append(str(fname))
-    return written
+            jobs.append((latent_in, str(fname)))
+
+    done = {"n": 0}
+
+    def progress(fname):
+        done["n"] += 1
+        logger.info("Reconstructed %s (%d/%d)", fname, done["n"], len(jobs))
+
+    return create_meshes_pipelined(config, params, jobs, N=N,
+                                   max_batch=max_batch, sparse=sparse,
+                                   on_done=progress)

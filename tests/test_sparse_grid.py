@@ -108,3 +108,20 @@ def test_create_mesh_sparse_flag(fixture_model, tmp_path):
     vs, fs = read_ply(str(out_s))
     np.testing.assert_array_equal(fd, fs)
     np.testing.assert_allclose(vs, vd, atol=5e-4)
+
+
+def test_pipelined_sweep_matches_per_call(fixture_model, tmp_path):
+    """create_meshes_pipelined output files are identical to per-job
+    create_mesh calls (the pipeline only reorders host/device work)."""
+    from deepsdf_tpu.mesh.extract import create_mesh, create_meshes_pipelined
+
+    config, params, latents = fixture_model
+    jobs = [(latents[i], str(tmp_path / f"p{i}.ply")) for i in range(3)]
+    seen = []
+    create_meshes_pipelined(config, params, jobs, N=48,
+                            on_done=lambda f: seen.append(f))
+    assert len(seen) == 3
+    for i in range(3):
+        ref = tmp_path / f"r{i}.ply"
+        create_mesh(config, params, latents[i], str(ref), N=48)
+        assert ref.read_bytes() == (tmp_path / f"p{i}.ply").read_bytes()
