@@ -110,7 +110,8 @@ def test_create_mesh_sparse_flag(fixture_model, tmp_path):
     np.testing.assert_allclose(vs, vd, atol=5e-4)
 
 
-def test_pipelined_sweep_matches_per_call(fixture_model, tmp_path):
+@pytest.mark.parametrize("sparse", [False, True])
+def test_pipelined_sweep_matches_per_call(fixture_model, tmp_path, sparse):
     """create_meshes_pipelined output files are identical to per-job
     create_mesh calls (the pipeline only reorders host/device work)."""
     from deepsdf_tpu.mesh.extract import create_mesh, create_meshes_pipelined
@@ -118,10 +119,10 @@ def test_pipelined_sweep_matches_per_call(fixture_model, tmp_path):
     config, params, latents = fixture_model
     jobs = [(latents[i], str(tmp_path / f"p{i}.ply")) for i in range(3)]
     seen = []
-    create_meshes_pipelined(config, params, jobs, N=48,
+    create_meshes_pipelined(config, params, jobs, N=48, sparse=sparse,
                             on_done=lambda f: seen.append(f))
     assert len(seen) == 3
     for i in range(3):
         ref = tmp_path / f"r{i}.ply"
-        create_mesh(config, params, latents[i], str(ref), N=48)
+        create_mesh(config, params, latents[i], str(ref), N=48, sparse=sparse)
         assert ref.read_bytes() == (tmp_path / f"p{i}.ply").read_bytes()
