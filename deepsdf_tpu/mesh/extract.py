@@ -24,31 +24,48 @@ from .ply import write_ply
 logger = logging.getLogger(__name__)
 
 
+def _resolve_fused(config: DecoderConfig, fused) -> bool:
+    """``"auto"`` → Pallas kernel only on TPU-like backends (the kernel
+    uses pltpu primitives) for supported architectures."""
+    if fused != "auto":
+        return bool(fused)
+    import jax
+
+    from ..ops.fused_mlp import supports_fused
+    return jax.default_backend() in ("tpu", "axon") and supports_fused(config)
+
+
+def _use_sparse(sparse: bool, N: int, coarse: int) -> bool:
+    if not sparse:
+        return False
+    if N % coarse:
+        logger.warning("sparse grid eval needs N %% coarse == 0 "
+                       "(N=%d, coarse=%d); using the dense pass", N, coarse)
+        return False
+    return True
+
+
 def create_mesh(config: DecoderConfig, params, latent_vec, filename: str | None,
                 N: int = 256, max_batch: int = 32 ** 3, offset=None, scale=None,
                 return_mesh: bool = False, sparse: bool = False,
-                fused: bool | str = "auto"):
+                fused: bool | str = "auto", coarse: int = 4):
     """Reconstruct a shape from one latent code (ref: mesh.py:26-85).
 
     Grid: N³ over [-1,1]³, voxel_size 2/(N-1), origin (-1,-1,-1).
     Writes ``filename`` (.ply appended if missing) unless None.
-    ``sparse`` decodes only the surface band (see
-    ``eval_sdf_grid_sparse``). ``fused="auto"`` uses the Pallas
+    ``sparse`` decodes only the surface band in ``coarse``³ blocks
+    (see ``eval_sdf_grid_sparse``). ``fused="auto"`` uses the Pallas
     kernel on TPU for supported architectures (measured ~12× faster
     grid eval; bf16 matmuls shift SDF values ≤ ~1e-4, far below a
     voxel) and the XLA f32 path elsewhere; pass True/False to force.
     """
-    if fused == "auto":
-        import jax
-
-        from ..ops.fused_mlp import supports_fused
-        fused = jax.default_backend() != "cpu" and supports_fused(config)
+    fused = _resolve_fused(config, fused)
     start = time.time()
     voxel_origin = [-1.0, -1.0, -1.0]
     voxel_size = 2.0 / (N - 1)
 
-    if sparse and N % 4 == 0:
-        sdf = eval_sdf_grid_sparse(config, params, latent_vec, N,
+    if _use_sparse(sparse, N, coarse):
+        sdf = eval_sdf_grid_sparse(config, params, latent_vec, N, coarse=coarse,
                                    chunk=max_batch, fused=fused)
     else:
         coords = grid_coords(N, voxel_origin, voxel_size)
@@ -66,31 +83,30 @@ def create_mesh(config: DecoderConfig, params, latent_vec, filename: str | None,
 def create_meshes_pipelined(config: DecoderConfig, params, jobs,
                             N: int = 256, max_batch: int = 32 ** 3,
                             offset=None, scale=None, sparse: bool = False,
-                            fused: bool | str = "auto",
+                            fused: bool | str = "auto", coarse: int = 4,
                             on_done=None) -> list[str]:
     """Sweep helper: extract one mesh per (latent, filename) job.
 
     Identical outputs to per-job ``create_mesh`` calls, but the NEXT
-    job's grid evaluation is dispatched (JAX is async) BEFORE the
-    current job's host-side marching/PLY write runs, so device time
-    and device→host transfer hide behind host extraction — on a
-    remote-tunnel TPU this overlaps the two biggest costs of a
-    reconstruction sweep. ``on_done(filename)`` fires after each
-    write (progress logging).
+    job's grid evaluation runs (on a single worker thread, where the
+    dense path is an async JAX dispatch and the sparse path's internal
+    host syncs also overlap) WHILE the current job's host-side
+    marching/PLY write runs on the main thread — on a remote-tunnel
+    TPU this hides device time and device→host transfer behind host
+    extraction, the two biggest costs of a reconstruction sweep.
+    ``on_done(filename)`` fires after each write (progress logging).
     """
-    if fused == "auto":
-        import jax
+    from concurrent.futures import ThreadPoolExecutor
 
-        from ..ops.fused_mlp import supports_fused
-        fused = jax.default_backend() != "cpu" and supports_fused(config)
+    fused = _resolve_fused(config, fused)
     voxel_origin = [-1.0, -1.0, -1.0]
     voxel_size = 2.0 / (N - 1)
-    use_sparse = sparse and N % 4 == 0
+    use_sparse = _use_sparse(sparse, N, coarse)
     coords = None if use_sparse else grid_coords(N, voxel_origin, voxel_size)
 
     def evaluate(latent):
-        if use_sparse:  # returns host array (syncs internally)
-            return eval_sdf_grid_sparse(config, params, latent, N,
+        if use_sparse:
+            return eval_sdf_grid_sparse(config, params, latent, N, coarse=coarse,
                                         chunk=max_batch, fused=fused)
         return eval_sdf_grid(config, params, jnp.asarray(latent).reshape(-1),
                              coords, chunk=max_batch, fused=fused)
@@ -102,16 +118,16 @@ def create_meshes_pipelined(config: DecoderConfig, params, jobs,
         if on_done is not None:
             on_done(filename)
 
-    written = []
-    prev = None
-    for latent, filename in jobs:
-        sdf = evaluate(latent)
+    written = [str(f) for _, f in jobs]
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        prev = None
+        for latent, filename in jobs:
+            fut = pool.submit(evaluate, latent)
+            if prev is not None:
+                finish(*prev)
+            prev = (fut.result(), filename)
         if prev is not None:
             finish(*prev)
-        prev = (sdf, filename)
-        written.append(str(filename))
-    if prev is not None:
-        finish(*prev)
     return written
 
 

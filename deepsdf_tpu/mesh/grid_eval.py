@@ -157,7 +157,21 @@ def eval_sdf_grid_sparse(config: DecoderConfig, params, latent_vec, N: int,
                                       chunk=chunk, fused=fused), np.float32)
 
     half_diag = (c - 1) / 2.0 * h * float(np.sqrt(3.0))
-    mask = (np.abs(vals_c) <= margin * half_diag).reshape(Nc, Nc, Nc)
+    vc3 = vals_c.reshape(Nc, Nc, Nc)
+    mask = np.abs(vc3) <= margin * half_diag
+    # Lipschitz-independent guard: a surface sheet crossing BETWEEN two
+    # block centers flips their signs — activate both, however steep
+    # the decoder is locally. (Only a sheet fully inside one block with
+    # |center| > margin·half_diag, i.e. local gradient > margin within
+    # half a block, can still slip through — raise ``margin`` for that.)
+    sgn = vc3 < 0
+    for a in range(3):
+        sl_lo = [slice(None)] * 3
+        sl_hi = [slice(None)] * 3
+        sl_lo[a], sl_hi[a] = slice(1, None), slice(None, -1)
+        flip = sgn[tuple(sl_lo)] != sgn[tuple(sl_hi)]
+        mask[tuple(sl_lo)] |= flip
+        mask[tuple(sl_hi)] |= flip
     for a in range(3):  # 3³ box dilation
         m = mask.copy()
         sl_lo = [slice(None)] * 3
@@ -175,15 +189,16 @@ def eval_sdf_grid_sparse(config: DecoderConfig, params, latent_vec, N: int,
     def _ret(field):
         return (field, info) if return_info else field
 
-    base = np.broadcast_to(
-        vals_c.reshape(Nc, 1, Nc, 1, Nc, 1), (Nc, c, Nc, c, Nc, c)).copy()
-    if count == 0:
-        return _ret(base.reshape(-1))
     if count > (3 * Nc ** 3) // 4:  # band covers the grid — dense is cheaper
         info["fallback"] = True
         coords = grid_coords(N, tuple(origin), h)
         return _ret(np.asarray(eval_sdf_grid(config, params, latent_vec, coords,
                                              chunk=chunk, fused=fused), np.float32))
+
+    base = np.broadcast_to(
+        vals_c.reshape(Nc, 1, Nc, 1, Nc, 1), (Nc, c, Nc, c, Nc, c)).copy()
+    if count == 0:
+        return _ret(base.reshape(-1))
 
     K = max(1024, 1 << int(np.ceil(np.log2(count))))
     K = min(K, Nc ** 3)

@@ -102,27 +102,31 @@ def test_create_mesh_sparse_flag(fixture_model, tmp_path):
     config, params, latents = fixture_model
     out_d = tmp_path / "dense.ply"
     out_s = tmp_path / "sparse.ply"
-    create_mesh(config, params, latents[0], str(out_d), N=64)
-    create_mesh(config, params, latents[0], str(out_s), N=64, sparse=True)
+    # N=128 so the sparse path actually scatters (N<=64 hits the
+    # dense fallback: threshold exceeds the clamp plateau)
+    create_mesh(config, params, latents[0], str(out_d), N=128)
+    create_mesh(config, params, latents[0], str(out_s), N=128, sparse=True)
     vd, fd = read_ply(str(out_d))
     vs, fs = read_ply(str(out_s))
     np.testing.assert_array_equal(fd, fs)
     np.testing.assert_allclose(vs, vd, atol=5e-4)
 
 
-@pytest.mark.parametrize("sparse", [False, True])
-def test_pipelined_sweep_matches_per_call(fixture_model, tmp_path, sparse):
+@pytest.mark.parametrize("sparse,N", [(False, 48), (True, 128)])
+def test_pipelined_sweep_matches_per_call(fixture_model, tmp_path, sparse, N):
     """create_meshes_pipelined output files are identical to per-job
-    create_mesh calls (the pipeline only reorders host/device work)."""
+    create_mesh calls (the pipeline only reorders host/device work).
+    The sparse case uses N=128 so the scatter path (not the dense
+    fallback) is what's exercised."""
     from deepsdf_tpu.mesh.extract import create_mesh, create_meshes_pipelined
 
     config, params, latents = fixture_model
     jobs = [(latents[i], str(tmp_path / f"p{i}.ply")) for i in range(3)]
     seen = []
-    create_meshes_pipelined(config, params, jobs, N=48, sparse=sparse,
+    create_meshes_pipelined(config, params, jobs, N=N, sparse=sparse,
                             on_done=lambda f: seen.append(f))
     assert len(seen) == 3
     for i in range(3):
         ref = tmp_path / f"r{i}.ply"
-        create_mesh(config, params, latents[i], str(ref), N=48, sparse=sparse)
+        create_mesh(config, params, latents[i], str(ref), N=N, sparse=sparse)
         assert ref.read_bytes() == (tmp_path / f"p{i}.ply").read_bytes()
