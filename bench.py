@@ -91,5 +91,36 @@ def main() -> None:
     }))
 
 
+def _wait_for_backend(attempts: int = 8, probe_timeout: int = 180,
+                      retry_sleep: int = 300) -> None:
+    """Block until the TPU backend initializes, bounded.
+
+    The axon tunnel has outages where the first jax call hangs
+    indefinitely (observed 2026-08-19, multi-hour). Probing in a
+    subprocess keeps THIS process's jax uninitialized so a later
+    import gets a clean attempt; without the probe, a driver-run
+    bench during an outage would hang forever instead of riding out
+    a transient blip."""
+    import subprocess
+    import sys
+
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True,
+            )
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            return
+        print(f"# TPU backend probe {attempt + 1}/{attempts} failed; "
+              f"retrying in {retry_sleep}s", flush=True)
+        time.sleep(retry_sleep)
+    raise RuntimeError("TPU backend unavailable after all probe attempts")
+
+
 if __name__ == "__main__":
+    _wait_for_backend()
     main()
