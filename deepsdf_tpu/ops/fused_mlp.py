@@ -172,12 +172,17 @@ def _inv_keep(spec: FusedMLPSpec) -> float:
     quantization otherwise."""
     if not spec.dropout_layers:
         return 1.0
-    import ml_dtypes
-    return float(np.float32(ml_dtypes.bfloat16(1.0 / (1.0 - spec.dropout_prob))))
+    return float(np.float32(jnp.bfloat16(1.0 / (1.0 - spec.dropout_prob))))
 
 
 def _layer_act(spec: FusedMLPSpec, training: bool, z, l: int, seed_ref, tile_id):
     """ReLU + (training) dropout for hidden layer ``l``; bf16 result.
+
+    NOTE: the z = bias + h@A (+ x@B) → _layer_act layer chain is
+    instantiated in FOUR kernels (_fwd_kernel, _bwd_kernel,
+    _recompute_acts, _bwd_upper_kernel); gradients rely on them
+    regenerating BIT-IDENTICAL activations/masks — any change to the
+    chain or to this function must be applied to all four in lockstep.
 
     The dropout mask is reproducible from (seed, tile, layer) alone so
     any kernel regenerates any single layer's mask without replaying
@@ -381,8 +386,9 @@ def _fused_bwd_rule(spec, training, residuals, g):
 
 def _fused_bwd_stream(spec, training, residuals, g):
     x, A, B, bias, seed, _ckpt = residuals
-    tile = _fwd_tile(spec, training) if (training and spec.dropout_layers) \
-        else spec.bwd_tile
+    # == spec.bwd_tile in both branches of the old conditional; masks
+    # regenerate per (seed, tile, layer) so bwd MUST tile at bwd_tile
+    tile = spec.bwd_tile
     xp, N = _pad_points(x.astype(_kernel_in_dtype(spec)), spec, tile)
     gp = jnp.pad(g.astype(jnp.float32), ((0, xp.shape[0] - N), (0, 0)))
     n_tiles = xp.shape[0] // tile
@@ -690,8 +696,15 @@ def fused_decoder_forward(config: DecoderConfig, params: Any, inputs: jax.Array,
 
 
 def supports_fused(config: DecoderConfig) -> bool:
+    """Architecture is fused-kernel eligible AND inside the validated
+    VMEM envelope. plan() checks shape constraints only; the envelope
+    bound keeps wide configs (e.g. 1024-wide: 19 MB of A-weights plus
+    f32 dW accumulators, over the ~16 MB scoped-VMEM budget) on the
+    XLA path instead of dying in Mosaic allocation. The bound covers
+    everything validated on hardware: all reference recipes plus the
+    ShapeNet-chairs 512x8 p_in=384 spec (scripts/validate_chairs_scale.py)."""
     try:
-        FusedMLPSpec.plan(config)
-        return True
+        spec = FusedMLPSpec.plan(config)
     except ValueError:
         return False
+    return spec.width <= 512 and spec.n_linear <= 10 and spec.p_in <= 512
