@@ -172,7 +172,10 @@ def _inv_keep(spec: FusedMLPSpec) -> float:
     quantization otherwise."""
     if not spec.dropout_layers:
         return 1.0
-    return float(np.float32(jnp.bfloat16(1.0 / (1.0 - spec.dropout_prob))))
+    # ml_dtypes.bfloat16 is a NUMPY scalar type — safe at trace time;
+    # jnp.bfloat16(x) would build a traced array inside the kernel
+    import ml_dtypes
+    return float(np.float32(ml_dtypes.bfloat16(1.0 / (1.0 - spec.dropout_prob))))
 
 
 def _layer_act(spec: FusedMLPSpec, training: bool, z, l: int, seed_ref, tile_id):
