@@ -65,6 +65,15 @@ static bool ends_with(const std::string& s, const std::string& suf) {
   return s.size() >= suf.size() && s.compare(s.size() - suf.size(), suf.size(), suf) == 0;
 }
 
+// every face index must reference a real vertex; rejecting here keeps
+// MeshAccel / sampling free of bounds checks on the hot paths
+static bool validate_faces(const Mesh& mesh) {
+  const uint32_t nv = (uint32_t)mesh.vertices.size();
+  for (const auto& f : mesh.faces)
+    if (f[0] >= nv || f[1] >= nv || f[2] >= nv) return false;
+  return true;
+}
+
 bool load_obj(const std::string& path, Mesh& mesh) {
   std::ifstream in(path);
   if (!in) return false;
@@ -75,18 +84,42 @@ bool load_obj(const std::string& path, Mesh& mesh) {
       if (sscanf(line.c_str(), "v %f %f %f", &v.x, &v.y, &v.z) == 3)
         mesh.vertices.push_back(v);
     } else if (line.rfind("f ", 0) == 0) {
-      // f i j k [l...] with optional /vt/vn — triangulate fans
+      // f i j k [l...] with optional /vt/vn — triangulate fans.
+      // strtol (not stoul): no exceptions across the C API, and OBJ
+      // negative indices (relative to the current vertex count) are
+      // legal; 0 and out-of-range are rejected by validate_faces.
       std::istringstream ss(line.substr(2));
       std::vector<uint32_t> ids;
       std::string tok;
       while (ss >> tok) {
-        ids.push_back((uint32_t)std::stoul(tok.substr(0, tok.find('/'))) - 1);
+        const std::string head = tok.substr(0, tok.find('/'));
+        char* end = nullptr;
+        long v = std::strtol(head.c_str(), &end, 10);
+        if (end == head.c_str() || v == 0) return false;
+        if (v < 0) v = (long)mesh.vertices.size() + v + 1;
+        if (v <= 0) return false;
+        ids.push_back((uint32_t)(v - 1));
       }
       for (size_t i = 2; i < ids.size(); i++)
         mesh.faces.push_back({{ids[0], ids[i - 1], ids[i]}});
     }
   }
-  return !mesh.vertices.empty() && !mesh.faces.empty();
+  return !mesh.vertices.empty() && !mesh.faces.empty() && validate_faces(mesh);
+}
+
+static int ply_type_size(const std::string& t) {
+  if (t == "double" || t == "float64" || t == "int64" || t == "uint64") return 8;
+  if (t == "float" || t == "float32" || t == "int" || t == "int32" ||
+      t == "uint" || t == "uint32") return 4;
+  if (t == "short" || t == "ushort" || t == "int16" || t == "uint16") return 2;
+  return 1;
+}
+
+// little-endian integer of 1/2/4/8 bytes → uint64 (counts/indices)
+static uint64_t ply_read_uint(std::istream& in, int size) {
+  uint64_t v = 0;
+  in.read((char*)&v, size);
+  return v;
 }
 
 bool load_ply(const std::string& path, Mesh& mesh) {
@@ -97,8 +130,9 @@ bool load_ply(const std::string& path, Mesh& mesh) {
   if (line.rfind("ply", 0) != 0) return false;
   bool binary = false;
   size_t n_verts = 0, n_faces = 0;
-  std::vector<std::pair<std::string, int>> vprops;  // name, byte size
-  bool in_vertex = false;
+  std::vector<std::pair<std::string, std::string>> vprops;  // name, type
+  int list_count_sz = 1, list_index_sz = 4;  // uchar + int32 default
+  std::string cur_elem;
   while (std::getline(in, line)) {
     if (line.rfind("end_header", 0) == 0) break;
     std::istringstream ss(line);
@@ -106,38 +140,58 @@ bool load_ply(const std::string& path, Mesh& mesh) {
     ss >> w0 >> w1 >> w2 >> w3;
     if (w0 == "format") binary = (w1 == "binary_little_endian");
     else if (w0 == "element") {
-      in_vertex = (w1 == "vertex");
-      if (w1 == "vertex") n_verts = std::stoul(w2);
-      else if (w1 == "face") n_faces = std::stoul(w2);
-    } else if (w0 == "property" && in_vertex && w1 != "list") {
-      int sz = (w1 == "double") ? 8 : (w1 == "float" || w1 == "float32" || w1 == "int" || w1 == "int32" || w1 == "uint" || w1 == "uint32") ? 4
-               : (w1 == "short" || w1 == "ushort") ? 2 : 1;
-      vprops.push_back({w2, sz});
+      cur_elem = w1;
+      char* end = nullptr;
+      long n = std::strtol(w2.c_str(), &end, 10);
+      if (end == w2.c_str() || n < 0) return false;
+      if (w1 == "vertex") n_verts = (size_t)n;
+      else if (w1 == "face") n_faces = (size_t)n;
+    } else if (w0 == "property" && cur_elem == "vertex" && w1 != "list") {
+      vprops.push_back({w2, w1});
+    } else if (w0 == "property" && cur_elem == "face" && w1 == "list") {
+      // honor the declared list types (some exporters use int counts)
+      list_count_sz = ply_type_size(w2);
+      list_index_sz = ply_type_size(w3);
     }
   }
   mesh.vertices.resize(n_verts);
   if (binary) {
     size_t stride = 0, ox = 0, oy = 0, oz = 0;
+    int sx = 4, sy = 4, sz_ = 4;
     for (auto& p : vprops) {
-      if (p.first == "x") ox = stride;
-      if (p.first == "y") oy = stride;
-      if (p.first == "z") oz = stride;
-      stride += p.second;
+      int sz = ply_type_size(p.second);
+      if (p.first == "x") { ox = stride; sx = (p.second == "double") ? 8 : sz; }
+      if (p.first == "y") { oy = stride; sy = (p.second == "double") ? 8 : sz; }
+      if (p.first == "z") { oz = stride; sz_ = (p.second == "double") ? 8 : sz; }
+      stride += sz;
     }
     std::vector<char> buf(stride * n_verts);
     in.read(buf.data(), buf.size());
+    if ((size_t)in.gcount() != buf.size()) return false;
+    auto coord = [&](size_t base, int size) -> float {
+      if (size == 8) {  // double-typed coordinates (CGAL/PCL exports)
+        double d;
+        std::memcpy(&d, &buf[base], 8);
+        return (float)d;
+      }
+      float f;
+      std::memcpy(&f, &buf[base], 4);
+      return f;
+    };
     for (size_t i = 0; i < n_verts; i++) {
-      std::memcpy(&mesh.vertices[i].x, &buf[i * stride + ox], 4);
-      std::memcpy(&mesh.vertices[i].y, &buf[i * stride + oy], 4);
-      std::memcpy(&mesh.vertices[i].z, &buf[i * stride + oz], 4);
+      mesh.vertices[i].x = coord(i * stride + ox, sx);
+      mesh.vertices[i].y = coord(i * stride + oy, sy);
+      mesh.vertices[i].z = coord(i * stride + oz, sz_);
     }
     for (size_t i = 0; i < n_faces; i++) {
-      uint8_t cnt;
-      in.read((char*)&cnt, 1);
-      std::vector<int32_t> idx(cnt);
-      in.read((char*)idx.data(), 4 * cnt);
-      for (int k = 2; k < cnt; k++)
-        mesh.faces.push_back({{(uint32_t)idx[0], (uint32_t)idx[k - 1], (uint32_t)idx[k]}});
+      uint64_t cnt = ply_read_uint(in, list_count_sz);
+      if (!in || cnt > 255) return false;  // degenerate/corrupt list
+      std::vector<uint32_t> idx(cnt);
+      for (uint64_t k = 0; k < cnt; k++)
+        idx[k] = (uint32_t)ply_read_uint(in, list_index_sz);
+      if (!in) return false;
+      for (uint64_t k = 2; k < cnt; k++)
+        mesh.faces.push_back({{idx[0], idx[k - 1], idx[k]}});
     }
   } else {
     for (size_t i = 0; i < n_verts; i++) {
@@ -148,14 +202,15 @@ bool load_ply(const std::string& path, Mesh& mesh) {
     for (size_t i = 0; i < n_faces; i++) {
       std::getline(in, line);
       std::istringstream ss(line);
-      int cnt; ss >> cnt;
+      int cnt = 0; ss >> cnt;
+      if (!ss || cnt < 3 || cnt > 255) return false;
       std::vector<uint32_t> idx(cnt);
       for (int k = 0; k < cnt; k++) ss >> idx[k];
       for (int k = 2; k < cnt; k++)
         mesh.faces.push_back({{idx[0], idx[k - 1], idx[k]}});
     }
   }
-  return !mesh.vertices.empty() && !mesh.faces.empty();
+  return !mesh.vertices.empty() && !mesh.faces.empty() && validate_faces(mesh);
 }
 
 bool load_mesh(const std::string& path, Mesh& mesh) {
@@ -167,16 +222,16 @@ bool load_mesh(const std::string& path, Mesh& mesh) {
 // ----------------------------------------------------------- npy / npz
 
 static uint32_t crc32(const uint8_t* data, size_t n, uint32_t crc = 0) {
-  static uint32_t table[256];
-  static bool init = false;
-  if (!init) {
+  // magic static: thread-safe init (ctypes callers release the GIL)
+  static const std::array<uint32_t, 256> table = [] {
+    std::array<uint32_t, 256> t{};
     for (uint32_t i = 0; i < 256; i++) {
       uint32_t c = i;
       for (int k = 0; k < 8; k++) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
-      table[i] = c;
+      t[i] = c;
     }
-    init = true;
-  }
+    return t;
+  }();
   crc = ~crc;
   for (size_t i = 0; i < n; i++) crc = table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
   return ~crc;
@@ -255,7 +310,8 @@ bool write_zip_stored(const std::string& path, const std::vector<ZipEntry>& entr
   out.write((char*)&n, 2); out.write((char*)&n, 2);
   out.write((char*)&cd_size, 4); out.write((char*)&cd_start, 4);
   out.write((char*)&comment, 2);
-  return true;
+  out.flush();
+  return out.good();  // disk-full / quota failures must not look like success
 }
 
 // ------------------------------------------------------------------ BVH
@@ -332,7 +388,17 @@ class MeshAccel {
     node.centroid = asum > 0 ? csum * (1.0f / asum)
                              : (node.bmin + node.bmax) * 0.5f;
     Vec3 ext = node.bmax - node.bmin;
-    node.radius = 0.5f * ext.norm();
+    // bounding radius about the DIPOLE centroid (not the bbox center):
+    // the beta=2 far-field test must bound max distance from the point
+    // the dipole expansion is taken around, or the approximation can
+    // activate at effective beta≈1 for skewed triangle distributions
+    float r2 = 0;
+    for (int i = start; i < start + count; i++) {
+      const Tri& t = tris_[order_[i]];
+      for (const Vec3* v : {&t.a, &t.b, &t.c})
+        r2 = std::max(r2, (*v - node.centroid).norm2());
+    }
+    node.radius = std::sqrt(r2);
     node.start = start;
     node.count = count;
     int idx = (int)nodes_.size();
@@ -441,35 +507,65 @@ class MeshAccel {
 }  // namespace dsdf
 
 // ------------------------------------------------------------ C API
+//
+// The handle owns the mesh AND a lazily-built BVH (invalidated by
+// dsdf_normalize): chunked signed-distance callers previously paid a
+// full O(F log F) BVH rebuild per chunk. Every entry point is noexcept
+// at the ABI boundary — C++ exceptions must not unwind into ctypes.
+
+namespace {
+
+struct MeshHandle {
+  dsdf::Mesh mesh;
+  std::unique_ptr<dsdf::MeshAccel> accel;
+  dsdf::MeshAccel& get_accel() {
+    if (!accel) accel = std::make_unique<dsdf::MeshAccel>(mesh);
+    return *accel;
+  }
+};
+
+}  // namespace
 
 extern "C" {
 
 void* dsdf_load_mesh(const char* path) {
-  auto mesh = std::make_unique<dsdf::Mesh>();
-  if (!dsdf::load_mesh(path, *mesh)) return nullptr;
-  return mesh.release();
+  try {
+    auto h = std::make_unique<MeshHandle>();
+    if (!dsdf::load_mesh(path, h->mesh)) return nullptr;
+    return h.release();
+  } catch (...) {
+    return nullptr;
+  }
 }
 
 void* dsdf_load_mesh_arrays(const float* verts, int n_verts, const int* faces,
                             int n_faces) {
-  auto mesh = std::make_unique<dsdf::Mesh>();
-  mesh->vertices.resize(n_verts);
-  for (int i = 0; i < n_verts; i++)
-    mesh->vertices[i] = {verts[3 * i], verts[3 * i + 1], verts[3 * i + 2]};
-  mesh->faces.resize(n_faces);
-  for (int i = 0; i < n_faces; i++)
-    mesh->faces[i] = {{(uint32_t)faces[3 * i], (uint32_t)faces[3 * i + 1],
-                       (uint32_t)faces[3 * i + 2]}};
-  return mesh.release();
+  try {
+    auto h = std::make_unique<MeshHandle>();
+    h->mesh.vertices.resize(n_verts);
+    for (int i = 0; i < n_verts; i++)
+      h->mesh.vertices[i] = {verts[3 * i], verts[3 * i + 1], verts[3 * i + 2]};
+    h->mesh.faces.resize(n_faces);
+    for (int i = 0; i < n_faces; i++) {
+      if (faces[3 * i] < 0 || faces[3 * i + 1] < 0 || faces[3 * i + 2] < 0)
+        return nullptr;
+      h->mesh.faces[i] = {{(uint32_t)faces[3 * i], (uint32_t)faces[3 * i + 1],
+                           (uint32_t)faces[3 * i + 2]}};
+    }
+    if (!dsdf::validate_faces(h->mesh)) return nullptr;
+    return h.release();
+  } catch (...) {
+    return nullptr;
+  }
 }
 
-void dsdf_free_mesh(void* handle) { delete (dsdf::Mesh*)handle; }
+void dsdf_free_mesh(void* handle) { delete (MeshHandle*)handle; }
 
 int dsdf_num_vertices(void* handle) {
-  return (int)((dsdf::Mesh*)handle)->vertices.size();
+  return (int)((MeshHandle*)handle)->mesh.vertices.size();
 }
 int dsdf_num_faces(void* handle) {
-  return (int)((dsdf::Mesh*)handle)->faces.size();
+  return (int)((MeshHandle*)handle)->mesh.faces.size();
 }
 
 // unit-sphere normalization with buffer (ref Utils.cpp
@@ -477,7 +573,9 @@ int dsdf_num_faces(void* handle) {
 // scale = 1/(buffer·max‖v+offset‖). Mutates the mesh; outputs params.
 void dsdf_normalize(void* handle, float buffer, float* out_offset,
                     float* out_scale) {
-  auto* mesh = (dsdf::Mesh*)handle;
+  auto* hd = (MeshHandle*)handle;
+  hd->accel.reset();  // vertices move: cached BVH is stale
+  auto* mesh = &hd->mesh;
   dsdf::Vec3 lo{1e30f, 1e30f, 1e30f}, hi{-1e30f, -1e30f, -1e30f};
   for (auto& v : mesh->vertices) {
     lo = {std::min(lo.x, v.x), std::min(lo.y, v.y), std::min(lo.z, v.z)};
@@ -498,7 +596,7 @@ void dsdf_normalize(void* handle, float buffer, float* out_offset,
 // exact signed distances for n query points (BVH + fast winding)
 void dsdf_signed_distance(void* handle, const float* queries, int n,
                           float* out) {
-  dsdf::MeshAccel accel(*(dsdf::Mesh*)handle);
+  dsdf::MeshAccel& accel = ((MeshHandle*)handle)->get_accel();
   for (int i = 0; i < n; i++) {
     dsdf::Vec3 p{queries[3 * i], queries[3 * i + 1], queries[3 * i + 2]};
     out[i] = accel.signed_distance(p);
@@ -507,7 +605,7 @@ void dsdf_signed_distance(void* handle, const float* queries, int n,
 
 // area-weighted surface sampling (ref Utils.cpp SampleFromSurface)
 void dsdf_sample_surface(void* handle, int n, uint64_t seed, float* out_pts) {
-  auto* mesh = (dsdf::Mesh*)handle;
+  auto* mesh = &((MeshHandle*)handle)->mesh;
   std::mt19937_64 rng(seed);
   std::uniform_real_distribution<float> uni(0.0f, 1.0f);
   std::vector<double> cdf;
@@ -540,8 +638,7 @@ void dsdf_sample_surface(void* handle, int n, uint64_t seed, float* out_pts) {
 int dsdf_sample_sdf(void* handle, int num_sample, float variance,
                     float near_ratio, float cube_dim, uint64_t seed,
                     float* out_xyz, float* out_sdf) {
-  auto* mesh = (dsdf::Mesh*)handle;
-  dsdf::MeshAccel accel(*mesh);
+  dsdf::MeshAccel& accel = ((MeshHandle*)handle)->get_accel();
   std::mt19937_64 rng(seed);
   std::normal_distribution<float> g1(0.0f, std::sqrt(variance));
   std::normal_distribution<float> g2(0.0f, std::sqrt(variance / 10.0f));
@@ -580,24 +677,35 @@ int dsdf_sample_sdf(void* handle, int num_sample, float variance,
   return k;
 }
 
-// npz writer: pos/neg (n,4) float arrays, keys "pos"/"neg" (ref
-// writeSDFToNPZ wrote pos.npy/neg.npy; the loader accepts both)
+// npz writer: pos/neg (n,4) float arrays. legacy_keys=1 stores them as
+// "pos.npy"/"neg.npy" members (numpy presents the key "pos", matching
+// the reference writeSDFToNPZ, ref PreprocessMesh.cpp writeSDFToNPZ);
+// legacy_keys=0 stores "pos"/"neg" members (numpy key "pos.npy" — the
+// other spelling the data loader accepts, deepsdf_tpu/data/dataset.py)
 int dsdf_write_sdf_npz(const char* path, const float* pos, int n_pos,
                        const float* neg, int n_neg, int legacy_keys) {
-  std::vector<dsdf::ZipEntry> entries;
-  const char* kp = legacy_keys ? "pos.npy" : "pos.npy";
-  (void)kp;
-  entries.push_back({"pos.npy", dsdf::npy_bytes(pos, n_pos, 4)});
-  entries.push_back({"neg.npy", dsdf::npy_bytes(neg, n_neg, 4)});
-  return dsdf::write_zip_stored(path, entries) ? 0 : 1;
+  try {
+    std::vector<dsdf::ZipEntry> entries;
+    const char* kp = legacy_keys ? "pos.npy" : "pos";
+    const char* kn = legacy_keys ? "neg.npy" : "neg";
+    entries.push_back({kp, dsdf::npy_bytes(pos, n_pos, 4)});
+    entries.push_back({kn, dsdf::npy_bytes(neg, n_neg, 4)});
+    return dsdf::write_zip_stored(path, entries) ? 0 : 1;
+  } catch (...) {
+    return 1;
+  }
 }
 
 int dsdf_write_normalization_npz(const char* path, const float* offset,
                                  float scale) {
-  std::vector<dsdf::ZipEntry> entries;
-  entries.push_back({"offset.npy", dsdf::npy_bytes(offset, 1, 3)});
-  entries.push_back({"scale.npy", dsdf::npy_bytes(&scale, 1, 1)});
-  return dsdf::write_zip_stored(path, entries) ? 0 : 1;
+  try {
+    std::vector<dsdf::ZipEntry> entries;
+    entries.push_back({"offset.npy", dsdf::npy_bytes(offset, 1, 3)});
+    entries.push_back({"scale.npy", dsdf::npy_bytes(&scale, 1, 1)});
+    return dsdf::write_zip_stored(path, entries) ? 0 : 1;
+  } catch (...) {
+    return 1;
+  }
 }
 
 }  // extern "C"

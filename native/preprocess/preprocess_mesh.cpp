@@ -10,6 +10,7 @@
 //   preprocess_mesh -m mesh.obj -o out.npz [-s 500000] [--var 0.005]
 //                   [--seed 0] [--no-normalize]
 
+#include <cstdlib>
 #include <cstring>
 #include <iostream>
 #include <string>
@@ -35,12 +36,27 @@ int main(int argc, char** argv) {
 
   for (int i = 1; i < argc; i++) {
     std::string a = argv[i];
-    auto next = [&]() { return std::string(argv[++i]); };
+    auto next = [&]() -> std::string {  // guard: flag as last argument
+      if (i + 1 >= argc) {
+        std::cerr << "error: " << a << " needs a value\n";
+        std::exit(1);
+      }
+      return std::string(argv[++i]);
+    };
     if (a == "-m") mesh_file = next();
     else if (a == "-o") out_file = next();
-    else if (a == "-s") num_sample = std::stoi(next());
-    else if (a == "--var") variance = std::stof(next());
-    else if (a == "--seed") seed = std::stoull(next());
+    else if (a == "-s") {
+      try { num_sample = std::stoi(next()); }
+      catch (...) { std::cerr << "error: -s needs an integer\n"; return 1; }
+    }
+    else if (a == "--var") {
+      try { variance = std::stof(next()); }
+      catch (...) { std::cerr << "error: --var needs a number\n"; return 1; }
+    }
+    else if (a == "--seed") {
+      try { seed = std::stoull(next()); }
+      catch (...) { std::cerr << "error: --seed needs an integer\n"; return 1; }
+    }
     else if (a == "--no-normalize") normalize = false;
     else if (a == "-h" || a == "--help") {
       std::cout << "usage: preprocess_mesh -m mesh -o out.npz [-s N] [--var v]"

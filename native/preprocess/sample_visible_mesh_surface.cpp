@@ -30,12 +30,24 @@ int main(int argc, char** argv) {
   unsigned long long seed = 0;
   for (int i = 1; i < argc; i++) {
     std::string a = argv[i];
-    auto next = [&]() { return std::string(argv[++i]); };
+    auto next = [&]() -> std::string {  // guard: flag as last argument
+      if (i + 1 >= argc) {
+        std::cerr << "error: " << a << " needs a value\n";
+        std::exit(1);
+      }
+      return std::string(argv[++i]);
+    };
     if (a == "-m") mesh_file = next();
     else if (a == "-o") ply_out = next();
     else if (a == "-n") norm_out = next();
-    else if (a == "-s") num_sample = std::stoi(next());
-    else if (a == "--seed") seed = std::stoull(next());
+    else if (a == "-s") {
+      try { num_sample = std::stoi(next()); }
+      catch (...) { std::cerr << "error: -s needs an integer\n"; return 1; }
+    }
+    else if (a == "--seed") {
+      try { seed = std::stoull(next()); }
+      catch (...) { std::cerr << "error: --seed needs an integer\n"; return 1; }
+    }
     else if (a == "-h" || a == "--help") {
       std::cout << "usage: sample_visible_mesh_surface -m mesh -o out.ply"
                    " [-n norm.npz] [-s N] [--seed s]\n";
