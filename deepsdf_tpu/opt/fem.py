@@ -95,7 +95,9 @@ class ElasticitySolver:
         reference's FEM also runs host-side, ref :317-326); ``'jax'``:
         matrix-free block-Jacobi CG on the accelerator. ``u0`` warm-starts
         the refinement (e.g. the previous optimization iterate's field)."""
-        if not self.ess_mask.any():
+        if self.force is None:
+            raise ValueError("no load set — call set_surface_load first")
+        if self.ess_mask is None or not self.ess_mask.any():
             # no essential dofs: pure-Neumann elasticity is singular
             # (rigid-body modes) — diverging CG would mask the real
             # problem, usually a structure detached from the fixed plane
@@ -109,7 +111,8 @@ class ElasticitySolver:
                                         rel_tol, max_iter, x0=u0)
         else:
             self.u = _solve_scipy(self.vertices, self.tets, self.lam, self.mu,
-                                  self.force, self.ess_mask, rel_tol, max_iter)
+                                  self.force, self.ess_mask, rel_tol, max_iter,
+                                  x0=u0)
         return self.u
 
     # ---- outputs ----
@@ -146,14 +149,20 @@ class ElasticitySolver:
         _, vol = _grad_shape_np(self.vertices, self.tets)
         return float(np.sum(np.abs(vol)))
 
-    def boundary_normal_integral(self, faces, vertex_vec) -> float:
+    def boundary_normal_integral(self, faces, vertex_vec):
         """∫_Γ v·n over marked faces with P1 vector field v
-        (ref BoundaryNormalLFIntegrator b.Sum(), :363-369,:418-424)."""
+        (ref BoundaryNormalLFIntegrator b.Sum(), :363-369,:418-424).
+
+        ``vertex_vec``: (V, 3) → float, or (V, 3, D) → (D,) array (one
+        integral per trailing design direction — the optimization
+        driver's batched-sensitivity path)."""
         verts = np.asarray(self.vertices)
         v = np.asarray(vertex_vec)
         tv = verts[faces]
         n = 0.5 * np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])  # area-weighted normal
         vmean = v[faces].mean(axis=1)
+        if v.ndim == 3:
+            return np.einsum("fi,fid->d", n, vmean)
         return float(np.einsum("fi,fi->", n, vmean))
 
     def compliance_shape_derivative(self, faces, theta) -> float:
@@ -179,7 +188,8 @@ def _grad_shape_np(verts, tets):
     return np.concatenate([g0, gN], axis=1), vol
 
 
-def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter):
+def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
+                 x0=None):
     from scipy.sparse import coo_matrix
     from scipy.sparse.linalg import cg
 
@@ -207,7 +217,8 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter):
     d = Aff.diagonal()
     d[d == 0] = 1.0
     Minv = LinearOperator(Aff.shape, matvec=lambda r: r / d)
-    x, info = cg(Aff, b, rtol=rel_tol, maxiter=max_iter, M=Minv)
+    x0f = None if x0 is None else np.asarray(x0, np.float64).ravel()[free]
+    x, info = cg(Aff, b, rtol=rel_tol, maxiter=max_iter, M=Minv, x0=x0f)
     if info != 0:
         logger.warning("CG did not fully converge (info=%s); residual %.3e",
                        info, np.linalg.norm(Aff @ x - b) / max(np.linalg.norm(b), 1e-300))
@@ -217,49 +228,9 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter):
 
 
 # ---------------- jitted kernels ----------------
-
-@partial(jax.jit, static_argnames=())
-def strain_energy_density(verts, tets, lam, mu, u):
-    """Elementwise SED = λ(div u)² + μ Σ u_{i,j}(u_{i,j}+u_{j,i})
-    (ref StrainEnergyDensityCoefficient :255-266), with |vol|."""
-    gN, vol = _grad_shape(verts, tets)
-    grad = _element_strain(u[tets], gN)
-    div = jnp.trace(grad, axis1=1, axis2=2)
-    sed = lam * div ** 2 + mu * jnp.einsum(
-        "tij,tij->t", grad, grad + jnp.swapaxes(grad, 1, 2))
-    return sed, jnp.abs(vol)
-
-
-def _apply_operator(u, verts, tets, lam, mu, ess_mask):
-    """Matrix-free y = A u with essential dofs pinned (identity rows)."""
-    u0 = jnp.where(ess_mask[:, None], 0.0, u)
-    gN, vol = _grad_shape(verts, tets)
-    vol = jnp.abs(vol)
-    grad = _element_strain(u0[tets], gN)                   # (T,3,3)
-    div = jnp.trace(grad, axis1=1, axis2=2)
-    # stress σ = λ div I + μ (∇u + ∇uᵀ)  — then nodal force f_a = vol σ : ∇N_a
-    eye = jnp.eye(3, dtype=u.dtype)
-    sigma = lam * div[:, None, None] * eye + mu * (grad + jnp.swapaxes(grad, 1, 2))
-    f_e = jnp.einsum("t,tij,taj->tai", vol, sigma, gN)     # (T,4,3)
-    y = jnp.zeros_like(u).at[tets.reshape(-1)].add(f_e.reshape(-1, 3))
-    return jnp.where(ess_mask[:, None], u, y)
-
-
-def _block_jacobi_diag(verts, tets, lam, mu, ess_mask):
-    """Per-node 3×3 diagonal blocks of A (for preconditioning)."""
-    gN, vol = _grad_shape(verts, tets)
-    vol = jnp.abs(vol)
-    # K_aa block for node a: vol [ λ gN_a gN_aᵀ + μ (gN_a·gN_a) I + μ gN_a gN_aᵀ ]
-    eye = jnp.eye(3)
-    outer = jnp.einsum("tai,taj->taij", gN, gN)
-    dots = jnp.einsum("tai,tai->ta", gN, gN)
-    blocks = (lam * outer + mu * outer
-              + mu * dots[..., None, None] * eye) * vol[:, None, None, None]
-    acc = jnp.zeros((verts.shape[0], 3, 3)).at[tets.reshape(-1)].add(
-        blocks.reshape(-1, 3, 3))
-    acc = jnp.where(ess_mask[:, None, None], jnp.eye(3)[None], acc)
-    return acc
-
+# (the live device kernels are inlined in solve_elasticity below so the
+# element geometry is computed once per solve; the f64 host mirror of
+# the operator follows)
 
 def _apply_operator_np(u, gN, vol, tets, lam, mu, ess_mask):
     """float64 numpy mirror of _apply_operator (for refinement residuals)."""
@@ -285,14 +256,37 @@ def _solve_jax_refined(verts, tets, lam, mu, force, ess_mask,
     block-Jacobi CG on the accelerator against the TRUE f64 residual
     (cheap host matvec, once per round), so the f64 defect shrinks by
     ~1e-6 per round while all the heavy lifting stays on device."""
+    V = len(verts)
     gN64, vol64 = _grad_shape_np(verts, tets)
     vol64 = np.abs(vol64)
     b = np.where(ess_mask[:, None], 0.0, force)
     bnorm = np.linalg.norm(b) + 1e-300
 
-    vj = jnp.asarray(verts, jnp.float32)
-    tj = jnp.asarray(tets)
-    mj = jnp.asarray(ess_mask)
+    # --- shape bucketing: each optimization iterate re-stuffs the tet
+    # mesh, and jax.jit keys on array shapes — unpadded, EVERY design
+    # iteration would recompile solve_elasticity through the (volatile,
+    # 20-500 s) tunnel. Pad V/T up to power-of-two buckets: padded
+    # vertices are essential-pinned (identity rows), padded tets all
+    # reference a unit dummy tet built from 4 padded vertices, so their
+    # stiffness lands only in pinned rows. ≤2x waste per solve, but the
+    # compile caches across the whole optimization run.
+    def bucket(n):
+        return 1 << max(4, int(np.ceil(np.log2(max(n, 1)))))
+
+    Vp = bucket(V + 4)
+    Tp = bucket(len(tets))
+    verts_p = np.zeros((Vp, 3), verts.dtype if hasattr(verts, "dtype") else np.float64)
+    verts_p[:V] = verts
+    verts_p[V:V + 4] = [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]]  # dummy tet
+    tets_p = np.full((Tp, 4), V, dtype=np.int64)
+    tets_p[:, 1], tets_p[:, 2], tets_p[:, 3] = V + 1, V + 2, V + 3
+    tets_p[:len(tets)] = tets
+    mask_p = np.ones(Vp, bool)
+    mask_p[:V] = ess_mask
+
+    vj = jnp.asarray(verts_p, jnp.float32)
+    tj = jnp.asarray(tets_p)
+    mj = jnp.asarray(mask_p)
 
     x = np.zeros_like(b)
     if x0 is not None:
@@ -303,22 +297,30 @@ def _solve_jax_refined(verts, tets, lam, mu, force, ess_mask,
         if np.linalg.norm(r0) < bnorm:
             x = cand
     inner_tol = max(rel_tol, 1e-6)
+    r_pad = np.zeros((Vp, 3), np.float64)
+    relres = None
     for round_ in range(max_rounds):
         r = b - _apply_operator_np(x, gN64, vol64, tets, lam, mu, ess_mask)
-        relres = np.linalg.norm(r) / bnorm
+        rnorm = np.linalg.norm(r)
+        relres = rnorm / bnorm
         if relres <= rel_tol:
             break
         # unit-normalize the rhs: late-round residuals are tiny and
         # would underflow f32 norms inside the device CG (CG is linear)
-        rnorm = np.linalg.norm(r)
-        d, it = solve_elasticity(vj, tj, lam, mu,
-                                 jnp.asarray(r / rnorm, jnp.float32), mj,
-                                 inner_tol, max_iter)
+        r_pad[:V] = r / rnorm
+        d, it = jax.device_get(solve_elasticity(
+            vj, tj, lam, mu, jnp.asarray(r_pad, jnp.float32), mj,
+            inner_tol, max_iter))  # ONE host<->device sync per round
         logger.debug("refinement round %d: relres %.3e, %d CG iterations",
                      round_, relres, int(it))
-        x = x + rnorm * np.asarray(d, np.float64)
+        x = x + rnorm * np.asarray(d, np.float64)[:V]
     else:
-        logger.warning("refined CG stalled at relres %.3e", relres)
+        # report the TRUE final defect (the loop variable is one
+        # correction stale when the rounds are exhausted)
+        r = b - _apply_operator_np(x, gN64, vol64, tets, lam, mu, ess_mask)
+        relres = np.linalg.norm(r) / bnorm
+        if relres > rel_tol:
+            logger.warning("refined CG stalled at relres %.3e", relres)
     return x
 
 

@@ -82,10 +82,6 @@ class CantileverBeam:
         return c, der
 
     def _boundary_normal_batch(self, theta_vnd: np.ndarray) -> np.ndarray:
-        """∫_Γ θ_d·n for each design dir d; θ_vnd: (V, 3, D) → (D,)."""
-        verts = self.vertices
-        bf = self.bfaces
-        tv = verts[bf]
-        n = 0.5 * np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
-        vmean = theta_vnd[bf].mean(axis=1)          # (F, 3, D)
-        return np.einsum("fi,fid->d", n, vmean)
+        """∫_Γ θ_d·n for each design dir d; θ_vnd: (V, 3, D) → (D,).
+        Shares ElasticitySolver.boundary_normal_integral's kernel."""
+        return self.solver.boundary_normal_integral(self.bfaces, theta_vnd)
