@@ -84,6 +84,26 @@ def balanced_lengths(pos_len: int, neg_len: int, subsample: int) -> tuple[int, i
     return pos_len, neg_len
 
 
+def draw_balanced(pos: np.ndarray, neg: np.ndarray, subsample: int,
+                  rng: np.random.Generator, pad: bool = False) -> np.ndarray:
+    """The balanced without-replacement draw (ref: data.py:83-110),
+    shared by unpack_sdf_samples / SDFSamples / the streaming loader.
+
+    With ``pad`` the result is topped up to exactly 2*(subsample//2)
+    rows by with-replacement repeats when BOTH pools are too shallow —
+    static shapes for jit (the reference would simply crash collating
+    such a scene)."""
+    n_pos, n_neg = balanced_lengths(len(pos), len(neg), subsample)
+    take_pos = rng.permutation(len(pos))[:n_pos]
+    take_neg = rng.permutation(len(neg))[:n_neg]
+    out = np.concatenate([pos[take_pos], neg[take_neg]], axis=0)
+    target = 2 * (subsample // 2)
+    if pad and len(out) < target:
+        extra = rng.integers(0, len(out), target - len(out))
+        out = np.concatenate([out, out[extra]], axis=0)
+    return out
+
+
 def unpack_sdf_samples(filename: str, geom_dimension: int, subsample: int | None = None,
                        rng: np.random.Generator | None = None) -> np.ndarray:
     """Host-side balanced subsample of one shape (ref: data.py:74-110),
@@ -91,11 +111,7 @@ def unpack_sdf_samples(filename: str, geom_dimension: int, subsample: int | None
     pos, neg = _load_pos_neg(filename, geom_dimension)
     if subsample is None:
         return np.concatenate([pos, neg], axis=0)
-    rng = rng or np.random.default_rng()
-    n_pos, n_neg = balanced_lengths(len(pos), len(neg), subsample)
-    take_pos = rng.permutation(len(pos))[:n_pos]
-    take_neg = rng.permutation(len(neg))[:n_neg]
-    return np.concatenate([pos[take_pos], neg[take_neg]], axis=0)
+    return draw_balanced(pos, neg, subsample, rng or np.random.default_rng())
 
 
 class SDFSamples:
@@ -121,10 +137,7 @@ class SDFSamples:
     def __getitem__(self, idx):
         if self.load_ram:
             pos, neg = self.loaded_data[idx]
-            n_pos, n_neg = balanced_lengths(len(pos), len(neg), self.subsample)
-            take_pos = self.rng.permutation(len(pos))[:n_pos]
-            take_neg = self.rng.permutation(len(neg))[:n_neg]
-            return np.concatenate([pos[take_pos], neg[take_neg]], axis=0), idx
+            return draw_balanced(pos, neg, self.subsample, self.rng), idx
         filename = os.path.join(self.data_source, ws.sdf_samples_subdir, self.npyfiles[idx])
         return unpack_sdf_samples(filename, self.geom_dimension, self.subsample, self.rng), idx
 
@@ -152,13 +165,20 @@ class DevicePools:
 
 
 def load_device_pools(data_source, split, geom_dimension, strict=True,
-                      pad_multiple: int = 1024, shuffle_seed: int = 0) -> DevicePools:
+                      pad_multiple: int = 1024, shuffle_seed: int = 0,
+                      window_extra: int = 0) -> DevicePools:
     """Stage every shape's pos/neg pools into padded device arrays.
 
     Pools are pre-shuffled once (so contiguous windows are random
     subsets — the reference's load_ram trick, ref data.py:174-178).
     Padding rows repeat row 0 of the respective pool (they are never
-    selected: draws are bounded by the true counts)."""
+    selected: draws are bounded by the true counts).
+
+    ``window_extra``: extra padded width beyond the largest pool. The
+    window sampler slices fixed 2*(subsample//2)-row windows whose
+    start must reach count−len for every row to be drawable; pass the
+    training SamplesPerScene here so the slice never hits the array
+    end (see sample_scenes_window)."""
     files = get_instance_filenames(data_source, split, strict=strict)
     shuffle_rng = np.random.default_rng(shuffle_seed)
     pos_list, neg_list = [], []
@@ -172,7 +192,7 @@ def load_device_pools(data_source, split, geom_dimension, strict=True,
 
     def pad_stack(arrs):
         width = geom_dimension + 1
-        max_n = max(max((len(a) for a in arrs), default=1), 1)
+        max_n = max(max((len(a) for a in arrs), default=1), 1) + window_extra
         max_n = -(-max_n // pad_multiple) * pad_multiple
         out = np.zeros((len(arrs), max_n, width), dtype=np.float32)
         counts = np.zeros(len(arrs), dtype=np.int32)
@@ -206,6 +226,8 @@ def sample_scenes_window(pools: DevicePools, scene_indices: jax.Array,
     half = subsample // 2
     target = 2 * half
     width = pools.pos.shape[-1]
+    lim_pos = pools.pos.shape[1] - target
+    lim_neg = pools.neg.shape[1] - target
 
     def one_scene(scene_idx, k):
         pos_count = pools.pos_counts[scene_idx]
@@ -218,10 +240,16 @@ def sample_scenes_window(pools: DevicePools, scene_indices: jax.Array,
                            jnp.maximum(pos_count, 0))
         neg_len = target - pos_len
         k_pos, k_neg = jax.random.split(k)
-        start_pos = jax.random.randint(
-            k_pos, (), 0, jnp.maximum(pos_count - pos_len, 0) + 1)
-        start_neg = jax.random.randint(
-            k_neg, (), 0, jnp.maximum(neg_count - neg_len, 0) + 1)
+        # start must satisfy BOTH start ≤ count−len (draw real rows
+        # only) and start ≤ width−target (the fixed-size slice must fit:
+        # jax.lax.dynamic_slice silently clamps out-of-range starts,
+        # which would pile draws onto one window and make tail rows
+        # unreachable — load_device_pools(window_extra=subsample) pads
+        # enough that the second bound never binds in training)
+        hi_pos = jnp.minimum(jnp.maximum(pos_count - pos_len, 0), lim_pos)
+        hi_neg = jnp.minimum(jnp.maximum(neg_count - neg_len, 0), lim_neg)
+        start_pos = jax.random.randint(k_pos, (), 0, hi_pos + 1)
+        start_neg = jax.random.randint(k_neg, (), 0, hi_neg + 1)
         win_pos = jax.lax.dynamic_slice(
             pools.pos[scene_idx], (start_pos, 0), (target, width))
         win_neg = jax.lax.dynamic_slice(

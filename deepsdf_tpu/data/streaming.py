@@ -23,7 +23,7 @@ import threading
 import numpy as np
 
 from .. import workspace as ws
-from .dataset import _load_pos_neg, balanced_lengths, get_instance_filenames
+from .dataset import _load_pos_neg, draw_balanced, get_instance_filenames
 
 
 class StreamingSDFLoader:
@@ -64,10 +64,11 @@ class StreamingSDFLoader:
 
     def _scene_samples(self, idx: int, rng: np.random.Generator) -> np.ndarray:
         pos, neg = self._load(idx)
-        n_pos, n_neg = balanced_lengths(len(pos), len(neg), self.subsample)
-        take_pos = rng.permutation(len(pos))[:n_pos]
-        take_neg = rng.permutation(len(neg))[:n_neg]
-        return np.concatenate([pos[take_pos], neg[take_neg]], axis=0)
+        # pad=True: EVERY scene yields exactly 2*(subsample//2) rows, so
+        # batches keep ONE static shape (each distinct shape would cost
+        # a fresh 20-500s tunnel compile) and deficient scenes keep
+        # their pos/neg balance instead of truncating other scenes
+        return draw_balanced(pos, neg, self.subsample, rng, pad=True)
 
     def epoch_batches(self, epoch: int):
         """Yield (batch (B, 2*(subsample//2), geom+1) f32, scene_idx (B,))
@@ -97,13 +98,16 @@ class StreamingSDFLoader:
                     if i >= n_batches:
                         return
                     next_job["i"] = i + 1
-                scene_idx = batches[i]
-                batch_rng = np.random.default_rng((self.seed, epoch, i))
-                rows = [self._scene_samples(s, batch_rng) for s in scene_idx]
-                n_min = min(len(r) for r in rows)
-                batch = np.stack([r[:n_min] for r in rows]).astype(np.float32)
+                try:
+                    scene_idx = batches[i]
+                    batch_rng = np.random.default_rng((self.seed, epoch, i))
+                    rows = [self._scene_samples(s, batch_rng) for s in scene_idx]
+                    result = (np.stack(rows).astype(np.float32),
+                              scene_idx.astype(np.int32))
+                except BaseException as exc:  # surface IO/decode errors
+                    result = exc
                 with results_lock:
-                    results[i] = (batch, scene_idx.astype(np.int32))
+                    results[i] = result
                     ready.notify_all()
 
         threads = [threading.Thread(target=worker, daemon=True)
@@ -118,6 +122,8 @@ class StreamingSDFLoader:
                     batch = results.pop(i)
                     emitted["i"] = i + 1
                     ready.notify_all()
+                if isinstance(batch, BaseException):
+                    raise batch  # a worker failed (corrupt npz, …)
                 yield batch
         finally:
             with ready:

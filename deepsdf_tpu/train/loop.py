@@ -55,10 +55,10 @@ def _epoch_metrics(state: TrainState, losses: jax.Array) -> jax.Array:
 
 
 def append_parameter_magnitudes(param_mag_log: dict, params: Any) -> None:
-    """Per-parameter L2 norms, torch-style names (ref: train_deep_sdf.py:246-252)."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    for path, leaf in flat:
-        name = ".".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+    """Per-parameter L2 norms (ref: train_deep_sdf.py:246-252); shares
+    _param_names so both logging paths use identical keys."""
+    leaves = jax.tree_util.tree_leaves(params)
+    for name, leaf in zip(_param_names(params), leaves):
         param_mag_log.setdefault(name, []).append(float(jnp.linalg.norm(leaf)))
 
 
@@ -80,11 +80,12 @@ def main_function(experiment_directory: str, continue_from: str | None = None,
             logger.warning("architecture unsupported by the fused kernel; using XLA path")
             cfg = dataclasses.replace(cfg, fused=False)
     latent_size = specs["CodeLength"]
-    num_epochs = num_epochs_override or specs["NumEpochs"]
+    num_epochs = (num_epochs_override if num_epochs_override is not None
+                  else specs["NumEpochs"])
     log_frequency = specs.get("LogFrequency", 10)
 
     checkpoints = list(range(
-        specs["SnapshotFrequency"], specs["NumEpochs"] + 1, specs["SnapshotFrequency"],
+        specs["SnapshotFrequency"], num_epochs + 1, specs["SnapshotFrequency"],
     ))
     checkpoints.extend(specs.get("AdditionalSnapshots", []))
     checkpoints.sort()
@@ -103,7 +104,8 @@ def main_function(experiment_directory: str, continue_from: str | None = None,
         pools = None
         num_scenes = loader.num_scenes
     else:
-        pools = load_device_pools(data_source, train_split, cfg.decoder.geom_dimension)
+        pools = load_device_pools(data_source, train_split, cfg.decoder.geom_dimension,
+                                  window_extra=2 * (cfg.samples_per_scene // 2))
         num_scenes = pools.num_scenes
     logger.info("There are %d scenes (%s mode)", num_scenes, data_mode)
 
@@ -174,7 +176,6 @@ def main_function(experiment_directory: str, continue_from: str | None = None,
         except ValueError:
             prev_handler = None  # not on main thread
 
-    batch_rng = np.random.default_rng(seed + 1)
     start_train = time.time()
 
     try:
@@ -185,7 +186,10 @@ def main_function(experiment_directory: str, continue_from: str | None = None,
 
             losses = []
             if pools is not None:
-                # whole epoch = ONE device program (lax.scan over batches)
+                # whole epoch = ONE device program (lax.scan over batches).
+                # scene order is keyed by (seed, epoch) — a resumed run
+                # sees the same batch order an uninterrupted run would
+                batch_rng = np.random.default_rng((seed + 1, epoch))
                 scene_batches = epoch_scene_batches(
                     num_scenes, cfg.scenes_per_batch, batch_rng)
                 epoch_key = jax.random.fold_in(run_key, epoch)
@@ -206,6 +210,15 @@ def main_function(experiment_directory: str, continue_from: str | None = None,
                         jnp.float32(lr0), jnp.float32(lr1), jnp.float32(epoch), cfg,
                     )
                     losses.append(batch_loss)
+                # pack losses + metrics into ONE device read like the
+                # pools path (each float() sync costs an RTT)
+                if losses:
+                    packed = np.asarray(_epoch_metrics(state, jnp.stack(losses)))
+                    n_l = len(losses)
+                    losses = list(packed[:n_l])
+                    epoch_metrics = packed[n_l:]
+                else:
+                    epoch_metrics = np.asarray(_epoch_metrics(state, jnp.zeros(0)))
 
             # Block once per epoch for the loss values (steps ran async)
             losses = [float(l) for l in losses]
@@ -224,13 +237,9 @@ def main_function(experiment_directory: str, continue_from: str | None = None,
                 sps / 1e6, float(np.mean(losses)) if losses else float("nan"))
 
             lr_log.append([s.get_learning_rate(epoch) for s in lr_schedules])
-            if pools is not None:
-                lat_mag_log.append(float(epoch_metrics[0]))
-                for name, norm in zip(_param_names(state.params), epoch_metrics[1:]):
-                    param_mag_log.setdefault(name, []).append(float(norm))
-            else:
-                lat_mag_log.append(get_mean_latent_vector_magnitude(state.latents))
-                append_parameter_magnitudes(param_mag_log, state.params)
+            lat_mag_log.append(float(epoch_metrics[0]))
+            for name, norm in zip(_param_names(state.params), epoch_metrics[1:]):
+                param_mag_log.setdefault(name, []).append(float(norm))
 
             if epoch in checkpoints:
                 save_checkpoints(epoch)

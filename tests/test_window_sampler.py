@@ -81,3 +81,62 @@ def test_windows_vary_across_keys():
     b = np.asarray(sample_scenes_window(pools, jnp.asarray([0], jnp.int32),
                                         jax.random.PRNGKey(2), 32))
     assert np.abs(a - b).max() > 0
+
+
+def test_window_tail_rows_reachable_with_extra_padding():
+    """Regression: with width ≥ count + target, EVERY pool row must be
+    drawable. The old code let jax.lax.dynamic_slice silently clamp the
+    window start, making the last (count − (width − target) − len) rows
+    of near-full pools unreachable and piling ~20% of draws onto one
+    fixed window (the default device training path)."""
+    count, target = 60, 32
+    # width = count + target (what load_device_pools(window_extra=target) gives)
+    pools, pos, neg = make_pools([count], [count], pool_size=count + target)
+    seen = set()
+    for k in range(400):
+        out = np.asarray(sample_scenes_window(
+            pools, jnp.asarray([0], jnp.int32), jax.random.PRNGKey(k), target))[0]
+        for row in out:
+            if row[3] > 0:
+                (idx,) = np.where(np.isclose(pos[0][:count], row[None, :],
+                                             atol=0).all(axis=1))[:1] or (None,)
+                if idx is not None:
+                    seen.add(int(np.atleast_1d(idx)[0]))
+    assert seen == set(range(count)), sorted(set(range(count)) - seen)
+
+
+def test_window_start_respects_slice_bounds():
+    """With a too-narrow pool the explicit bound (not dynamic_slice's
+    silent clamp) must cap the start: all drawn rows are real rows."""
+    count, target, pool_size = 60, 32, 64
+    pools, pos, neg = make_pools([count], [count], pool_size=pool_size)
+    for k in range(50):
+        out = np.asarray(sample_scenes_window(
+            pools, jnp.asarray([0], jnp.int32), jax.random.PRNGKey(k), target))[0]
+        for row in out[row_sign(out) > 0] if False else out:
+            pool = pos[0][:count] if row[3] > 0 else neg[0][:count]
+            assert np.isclose(pool, row[None, :], atol=0).all(axis=1).any()
+
+
+def row_sign(out):
+    return out[:, 3]
+
+
+def test_load_device_pools_window_extra(tmp_path):
+    """The training loop passes window_extra=SamplesPerScene so padded
+    width ≥ max_count + target and every window start stays in bounds."""
+    import json, os
+    from deepsdf_tpu.data.dataset import load_device_pools
+
+    d = tmp_path / "ds" / "SdfSamples" / "a" / "b"
+    os.makedirs(d)
+    rng = np.random.default_rng(0)
+    for name, n in (("s0", 1500), ("s1", 900)):
+        np.savez(d / f"{name}.npz",
+                 pos=rng.normal(size=(n, 4)).astype(np.float32),
+                 neg=rng.normal(size=(n // 2, 4)).astype(np.float32))
+    split = {"a": {"b": ["s0", "s1"]}}
+    pools = load_device_pools(str(tmp_path / "ds"), split, 3, window_extra=800)
+    assert pools.pos.shape[1] >= 1500 + 800
+    assert pools.neg.shape[1] >= 750 + 800
+    assert int(pools.pos_counts[0]) == 1500 and int(pools.neg_counts[1]) == 450
