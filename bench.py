@@ -4,11 +4,16 @@ Baseline (BASELINE.md): the reference's double_lattice_3D recipe —
 400 shapes × 16000 samples/scene, 512×8 decoder, 10 scenes/batch —
 runs 7.07 s/epoch on an A100 ⇒ ≈0.9M point-samples/s. This bench runs
 the same training configuration (synthetic pools of the same shape) on
-one TPU chip and reports steady-state samples/s.
+one TPU chip and reports steady-state samples/s, plus dense/sparse
+grid-eval timings against the reference's mesh-extraction numbers
+(316k pts ≈1.03 s incl. jacobians; grid default 256³,
+ref deep_sdf/mesh.py:27, optimization_logs.log).
 
-Prints ONE JSON line:
+Prints a provisional JSON line as soon as the first timed window
+completes (so a killed run still records a number), then ONE final
+JSON line:
   {"metric": "train_samples_per_sec", "value": N, "unit": "samples/s",
-   "vs_baseline": N / 905_233}
+   "vs_baseline": N / 905_233, "grid_dense_256_s": ..., ...}
 """
 
 from __future__ import annotations
@@ -19,9 +24,11 @@ import time
 import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 400 * 16000 / 7.07  # ≈905k, A100 (BASELINE.md)
+BASELINE_GRID_316K_S = 1.03  # 316,030-pt eval on A100 (BASELINE.md; incl. jacobians)
 
 
-def main() -> None:
+def _bench_training() -> float:
+    """Steady-state training samples/s on the double_lattice_3D recipe."""
     import jax
     import jax.numpy as jnp
 
@@ -75,32 +82,125 @@ def main() -> None:
     state, loss = step(state, 0)
     float(loss)
 
-    n_steps = 40  # = 1 reference epoch
+    # first short window → provisional number, printed immediately so a
+    # killed/timed-out run still records a driver-parseable line
+    n_first, n_total = 8, 40  # 40 steps = 1 reference epoch
     t0 = time.perf_counter()
-    for i in range(1, n_steps + 1):
+    for i in range(1, n_first + 1):
         state, loss = step(state, i)
     float(loss)  # value read = hard sync through the device stream
-    dt = time.perf_counter() - t0
-
-    samples_per_sec = samples_per_step * n_steps / dt
+    dt_first = time.perf_counter() - t0
+    provisional = samples_per_step * n_first / dt_first
     print(json.dumps({
         "metric": "train_samples_per_sec",
-        "value": round(samples_per_sec),
+        "value": round(provisional),
         "unit": "samples/s",
-        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
-    }))
+        "vs_baseline": round(provisional / BASELINE_SAMPLES_PER_SEC, 3),
+        "provisional": True,
+    }), flush=True)
+
+    t1 = time.perf_counter()
+    for i in range(n_first + 1, n_total + 1):
+        state, loss = step(state, i)
+    float(loss)
+    dt = (time.perf_counter() - t1) + dt_first
+    return samples_per_step * n_total / dt
 
 
-def _wait_for_backend(attempts: int = 8, probe_timeout: int = 180,
-                      retry_sleep: int = 300) -> None:
-    """Block until the TPU backend initializes, bounded.
+def _bench_grid_eval() -> dict:
+    """Dense + sparse grid-eval timings on the trained flagship decoder.
+
+    Reference numbers: 316,030-pt differentiable eval 1.03–1.17 s and
+    N=256³ default extraction grid (BASELINE.md). Uses the committed
+    double_lattice_3D fixture so the sparse surface-band path sees a
+    real far-field plateau; falls back to random init without it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deepsdf_tpu.mesh.grid_eval import (
+        eval_sdf_grid, eval_sdf_grid_sparse, grid_coords,
+    )
+
+    try:
+        from deepsdf_tpu.workspace import load_latent_vectors, load_trained_model
+        config, params = load_trained_model("experiments/double_lattice_3D", "latest")
+        latent = jnp.asarray(load_latent_vectors("experiments/double_lattice_3D",
+                                                 "latest")[0][0])
+        trained = True
+    except Exception:
+        from deepsdf_tpu.networks.decoder import DecoderConfig, init_decoder_params
+        config = DecoderConfig(
+            latent_size=2, dims=(512,) * 8, geom_dimension=3,
+            norm_layers=tuple(range(8)), latent_in=(4,), weight_norm=True)
+        params = init_decoder_params(jax.random.PRNGKey(0), config)
+        latent = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (2,))
+        trained = False
+
+    def timeit(fn, reps=3):
+        fn()  # compile/warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            np.asarray(out)  # host read = hard sync
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    out = {}
+    # 316k-point eval — the reference's per-optimization-iteration grid
+    pts316k = jnp.asarray(
+        np.random.default_rng(3).uniform(-1, 1, (316030, 3)).astype(np.float32))
+    out["grid_316k_s"] = round(timeit(
+        lambda: eval_sdf_grid(config, params, latent, pts316k, fused=True)), 4)
+    out["grid_316k_vs_baseline"] = round(BASELINE_GRID_316K_S / out["grid_316k_s"], 1)
+
+    # dense 256³ (the reference's default reconstruction grid)
+    coords = grid_coords(256)
+    out["grid_dense_256_s"] = round(timeit(
+        lambda: eval_sdf_grid(config, params, latent, coords, fused=True)), 3)
+    out["grid_dense_256_pts_per_s"] = round(256 ** 3 / out["grid_dense_256_s"])
+
+    # sparse two-level surface-band eval, same grid
+    if trained:
+        sparse, info = eval_sdf_grid_sparse(config, params, latent, 256,
+                                            fused=True, return_info=True)
+        if not info["fallback"]:
+            out["grid_sparse_256_s"] = round(timeit(
+                lambda: eval_sdf_grid_sparse(config, params, latent, 256,
+                                             fused=True)), 3)
+            out["grid_sparse_256_speedup"] = round(
+                out["grid_dense_256_s"] / out["grid_sparse_256_s"], 2)
+            out["grid_sparse_256_active_frac"] = round(info["active_frac"], 3)
+    return out
+
+
+def main() -> None:
+    train_sps = _bench_training()
+    result = {
+        "metric": "train_samples_per_sec",
+        "value": round(train_sps),
+        "unit": "samples/s",
+        "vs_baseline": round(train_sps / BASELINE_SAMPLES_PER_SEC, 3),
+    }
+    try:
+        result.update(_bench_grid_eval())
+    except Exception as e:  # grid metrics are secondary — never lose the train number
+        result["grid_eval_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(result), flush=True)
+
+
+def _wait_for_backend(attempts: int = 2, probe_timeout: int = 120,
+                      retry_sleep: int = 60) -> None:
+    """Block until the TPU backend initializes, bounded (≤~5 min total).
 
     The axon tunnel has outages where the first jax call hangs
     indefinitely (observed 2026-08-19, multi-hour). Probing in a
     subprocess keeps THIS process's jax uninitialized so a later
-    import gets a clean attempt; without the probe, a driver-run
-    bench during an outage would hang forever instead of riding out
-    a transient blip."""
+    import gets a clean attempt. Bounded tightly so a driver-run bench
+    during an outage fails fast instead of eating the round's budget
+    (round 1 ended rc=124 with no number because the probe rode out
+    the outage for ~64 min)."""
     import subprocess
     import sys
 
@@ -115,9 +215,10 @@ def _wait_for_backend(attempts: int = 8, probe_timeout: int = 180,
             ok = False
         if ok:
             return
-        print(f"# TPU backend probe {attempt + 1}/{attempts} failed; "
-              f"retrying in {retry_sleep}s", flush=True)
-        time.sleep(retry_sleep)
+        if attempt + 1 < attempts:
+            print(f"# TPU backend probe {attempt + 1}/{attempts} failed; "
+                  f"retrying in {retry_sleep}s", flush=True)
+            time.sleep(retry_sleep)
     raise RuntimeError("TPU backend unavailable after all probe attempts")
 
 

@@ -19,6 +19,8 @@ init, and the sharding layout for auto-decoder training:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -34,17 +36,50 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "data",
     return Mesh(np.asarray(devices).reshape(-1), (axis_name,))
 
 
+def _multi_host_env() -> bool:
+    """Detect a multi-host launch environment (TPU pod slice, SLURM
+    multi-task job, or an explicit coordinator address)."""
+    env = os.environ
+    if env.get("JAX_COORDINATOR_ADDRESS") or env.get("COORDINATOR_ADDRESS"):
+        return True
+    if "," in env.get("TPU_WORKER_HOSTNAMES", ""):
+        return True
+    for key in ("SLURM_NTASKS", "MEGASCALE_NUM_SLICES", "JAX_NUM_PROCESSES"):
+        try:
+            if int(env.get(key, "1")) > 1:
+                return True
+        except ValueError:
+            pass
+    return False
+
+
+_distributed_initialized = False
+
+
 def initialize_distributed(coordinator_address: str | None = None,
                            num_processes: int | None = None,
-                           process_id: int | None = None) -> None:
+                           process_id: int | None = None) -> bool:
     """Multi-host init (one process per host, same script all hosts).
 
-    No-op when running single-process; mirrors
-    ``jax.distributed.initialize`` defaults on TPU pods where the
-    cluster is auto-detected.
+    With explicit arguments, initializes that cluster. With none, it
+    auto-detects pod/SLURM launch environments and calls the argless
+    ``jax.distributed.initialize()`` (JAX's own cluster detection);
+    single-host runs are a no-op. Returns whether jax.distributed is
+    active. Called from ``train_deep_sdf.py`` before any jax use so the
+    production path works unchanged on a pod (SURVEY.md §5.8).
     """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return True
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
+        _distributed_initialized = True
+        return True
+    if num_processes is None and coordinator_address is None and _multi_host_env():
+        jax.distributed.initialize()
+        _distributed_initialized = True
+        return True
+    return False
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -57,12 +92,18 @@ def data_sharded(mesh: Mesh, axis: str = "data", rank: int = 1) -> NamedSharding
 
 def train_state_shardings(mesh: Mesh, state, axis: str = "data"):
     """Sharding pytree for TrainState: params/opt replicated, latent
-    table + its moments row-sharded."""
-    rep = replicated(mesh)
-    lat_shard = data_sharded(mesh, axis, rank=2)
+    table + its moments row-sharded.
 
-    def shard_like(x, is_latent):
-        return lat_shard if is_latent else rep
+    When the scene count is not divisible by the mesh axis size the
+    latent table (+ moments) is replicated instead — ``device_put``
+    rejects uneven row shards, and replication stays correct because
+    the SPMD partitioner all-reduces the scatter-add latent grads.
+    """
+    rep = replicated(mesh)
+    axis_size = int(np.prod([mesh.shape[a] for a in (axis,)]))
+    num_scenes = int(np.shape(state.latents)[0])
+    lat_shard = (data_sharded(mesh, axis, rank=2)
+                 if num_scenes % axis_size == 0 else rep)
 
     import jax.tree_util as jtu
     from ..train.step import TrainState
@@ -79,7 +120,40 @@ def train_state_shardings(mesh: Mesh, state, axis: str = "data"):
 def shard_train_state(mesh: Mesh, state, axis: str = "data"):
     """Place a TrainState onto the mesh with the training layout.
 
-    Pads nothing: jax handles uneven row shards of the latent table.
+    Multi-host: every process passes the same host-local state (same
+    seed / same checkpoint file) and global arrays are built from
+    per-shard callbacks.
     """
     shardings = train_state_shardings(mesh, state, axis)
-    return jax.device_put(state, shardings)
+    if jax.process_count() == 1:
+        return jax.device_put(state, shardings)
+
+    def put(x, s):
+        return jax.make_array_from_callback(
+            np.shape(x), s, lambda idx: np.asarray(x)[idx])
+
+    return jax.tree.map(put, state, shardings)
+
+
+def put_with_spec(mesh: Mesh, x, spec: P):
+    """Place one host-identical array with an explicit PartitionSpec
+    (works single- and multi-process)."""
+    s = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, s)
+    return jax.make_array_from_callback(
+        np.shape(x), s, lambda idx: np.asarray(x)[idx])
+
+
+def put_replicated(mesh: Mesh, value):
+    """Fully replicate a host-identical pytree onto the mesh (works
+    single- and multi-process)."""
+    rep = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(value, rep)
+
+    def put(x):
+        return jax.make_array_from_callback(
+            np.shape(x), rep, lambda idx: np.asarray(x)[idx])
+
+    return jax.tree.map(put, value)

@@ -65,7 +65,12 @@ def append_parameter_magnitudes(param_mag_log: dict, params: Any) -> None:
 def main_function(experiment_directory: str, continue_from: str | None = None,
                   batch_split: int = 1, seed: int = 0,
                   num_epochs_override: int | None = None,
-                  fused: bool = False) -> TrainState:
+                  fused: bool = False,
+                  use_mesh: bool | None = None) -> TrainState:
+    """Spec-driven training. ``use_mesh=None`` auto-shards over ALL
+    visible devices when more than one is present (DP over scenes,
+    row-sharded latent table — SURVEY.md §2 parallelism inventory);
+    ``False`` forces single-device, ``True`` requires >1 device."""
     specs = ws.load_experiment_specifications(experiment_directory)
     logger.info("Experiment description: \n%s", specs.get("Description", ""))
 
@@ -109,6 +114,24 @@ def main_function(experiment_directory: str, continue_from: str | None = None,
         num_scenes = pools.num_scenes
     logger.info("There are %d scenes (%s mode)", num_scenes, data_mode)
 
+    # --- device mesh (DP): params/pools replicated, latent table row-
+    # sharded, scenes of each batch split over the ``data`` axis.
+    # XLA's SPMD partitioner inserts the grad all-reduce over ICI. ---
+    mesh = None
+    n_dev = jax.device_count()
+    if use_mesh is None:
+        use_mesh = n_dev > 1 and pools is not None
+    if use_mesh:
+        if n_dev < 2:
+            raise RuntimeError("use_mesh=True requires more than one device")
+        if pools is None:
+            raise RuntimeError("mesh training requires device-resident pools "
+                               "(DataLoaderMode 'device')")
+        from ..parallel.mesh import make_mesh, put_replicated, shard_train_state
+        mesh = make_mesh()
+        logger.info("Training over a %d-device mesh (%d process(es))",
+                    n_dev, jax.process_count())
+
     # --- init model + latent table (ref :385-390) ---
     root_key = jax.random.PRNGKey(seed)
     init_key, latent_key, run_key = jax.random.split(root_key, 3)
@@ -145,23 +168,44 @@ def main_function(experiment_directory: str, continue_from: str | None = None,
                 f"epoch mismatch: {model_epoch} vs {optimizer_epoch} vs {lat_epoch} vs {log_epoch}")
         start_epoch = model_epoch + 1
 
+    if mesh is not None:
+        # params/opt replicated, latent table (+ its Adam moments) row-
+        # sharded; pools replicated (the per-scene gather stays local)
+        state = shard_train_state(mesh, state)
+        pools = put_replicated(mesh, pools)
+
     logger.info("starting from epoch %d", start_epoch)
     n_params = sum(int(np.size(x)) for x in jax.tree_util.tree_leaves(state.params))
     logger.info("Number of decoder parameters: %d", n_params)
     logger.info("Number of shape code parameters: %d (# codes %d, code dim %d)",
                 num_scenes * latent_size, num_scenes, latent_size)
 
+    def _host_copy(tree):
+        """Fully-addressable view for checkpoint writing. Multi-host:
+        allgather the row-sharded leaves (latent table + its moments) —
+        a collective, so EVERY process calls this before the process-0
+        write guard."""
+        def f(x):
+            if hasattr(x, "sharding") and not x.sharding.is_fully_addressable:
+                from jax.experimental import multihost_utils as mh
+                return mh.process_allgather(x, tiled=True)
+            return x
+        return jax.tree.map(f, tree)
+
+    def save_named(name: str, epoch: int) -> None:
+        st = _host_copy(state) if jax.process_count() > 1 else state
+        if jax.process_index() != 0:  # one writer
+            return
+        ckpt.save_model(experiment_directory, name, st.params, epoch)
+        ckpt.save_optimizer(experiment_directory, name,
+                            {"opt_params": st.opt_params, "opt_latents": st.opt_latents}, epoch)
+        ckpt.save_latent_vectors(experiment_directory, name, st.latents, epoch)
+
     def save_latest(epoch: int) -> None:
-        ckpt.save_model(experiment_directory, "latest", state.params, epoch)
-        ckpt.save_optimizer(experiment_directory, "latest",
-                            {"opt_params": state.opt_params, "opt_latents": state.opt_latents}, epoch)
-        ckpt.save_latent_vectors(experiment_directory, "latest", state.latents, epoch)
+        save_named("latest", epoch)
 
     def save_checkpoints(epoch: int) -> None:
-        ckpt.save_model(experiment_directory, str(epoch), state.params, epoch)
-        ckpt.save_optimizer(experiment_directory, str(epoch),
-                            {"opt_params": state.opt_params, "opt_latents": state.opt_latents}, epoch)
-        ckpt.save_latent_vectors(experiment_directory, str(epoch), state.latents, epoch)
+        save_named(str(epoch), epoch)
 
     stop_requested = {"flag": False}
 
@@ -192,9 +236,20 @@ def main_function(experiment_directory: str, continue_from: str | None = None,
                 batch_rng = np.random.default_rng((seed + 1, epoch))
                 scene_batches = epoch_scene_batches(
                     num_scenes, cfg.scenes_per_batch, batch_rng)
+                scene_arr = np.asarray(scene_batches, dtype=np.int32)
+                if mesh is not None:
+                    # split each batch's scenes over the data axis (the
+                    # scan axis 0 stays unsharded); uneven splits are
+                    # handled by GSPMD but waste the ragged device
+                    from jax.sharding import PartitionSpec as P
+                    from ..parallel.mesh import put_with_spec
+                    spec = P(None, "data") if scene_arr.shape[1] % n_dev == 0 else P()
+                    scene_arr = put_with_spec(mesh, scene_arr, spec)
+                else:
+                    scene_arr = jnp.asarray(scene_arr)
                 epoch_key = jax.random.fold_in(run_key, epoch)
                 state, losses_arr = train_epoch(
-                    state, pools, jnp.asarray(scene_batches, dtype=jnp.int32),
+                    state, pools, scene_arr,
                     epoch_key, jnp.float32(lr0), jnp.float32(lr1),
                     jnp.float32(epoch), cfg,
                 )

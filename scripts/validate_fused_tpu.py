@@ -5,7 +5,11 @@ fwd parity vs XLA on device, and grid-eval throughput vs the
 reference's numbers (BASELINE.md: 18,081 pts forward in 0.033 s;
 316,030 pts + 60-var jacobians in ~1.05 s on A100)."""
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

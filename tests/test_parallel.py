@@ -69,6 +69,82 @@ def test_sharded_step_matches_single_device():
     assert len(s_shard.latents.sharding.device_set) == 8
 
 
+def test_main_function_mesh_matches_single_device(tmp_path):
+    """The PRODUCTION training entry (train/loop.py::main_function) on
+    the 8-virtual-device mesh reproduces the single-device run
+    (VERDICT r1 #3): same specs/data/seed, use_mesh=True vs False →
+    matching final decoder params and latent table. The sharded run
+    must actually row-shard the latent table across all 8 devices."""
+    import json
+    import os
+
+    from deepsdf_tpu import workspace as ws
+    from deepsdf_tpu.sdf_sampler import CornerSpheresSDF, SDFSampler
+    from deepsdf_tpu.train.loop import main_function
+
+    data_dir = tmp_path / "data"
+    split_dir = data_dir / "splits"
+    sampler = SDFSampler(str(data_dir / ws.sdf_samples_subdir), str(split_dir), seed=0)
+    radii = np.linspace(0.5, 0.95, 8)
+    sdfs = [CornerSpheresSDF(r, limit=0.9).SDF for r in radii]
+    info = {"dataset_name": "microstructure", "class_name": "corner_spheres"}
+    split_ids = sampler.sample_sdfs(sdfs, info, n_samples=4e3)
+    sampler.write_json("cs.json", info, split_ids)
+
+    specs = {
+        "Description": "mesh-parity mini experiment",
+        "DataSource": str(data_dir),
+        "TrainSplit": str(split_dir / "cs.json"),
+        "NetworkArch": "decoder",
+        "NetworkSpecs": {
+            "dims": [16, 16],
+            "dropout": [0, 1, 2],
+            "dropout_prob": 0.2,
+            "norm_layers": [0, 1, 2],
+            "latent_in": [1],
+            "weight_norm": True,
+            "geom_dimension": 3,
+        },
+        "CodeLength": 2,
+        "NumEpochs": 3,
+        "SnapshotFrequency": 3,
+        "LearningRateSchedule": [
+            {"Type": "Step", "Initial": 0.002, "Interval": 300, "Factor": 0.5},
+            {"Type": "Step", "Initial": 0.004, "Interval": 300, "Factor": 0.5},
+        ],
+        "SamplesPerScene": 512,
+        "ScenesPerBatch": 8,
+        "ClampingDistance": 0.1,
+        "CodeRegularization": True,
+        "CodeRegularizationLambda": 1e-4,
+        "CodeBound": 1.0,
+    }
+    states = {}
+    for name, use_mesh in (("single", False), ("mesh", True)):
+        exp = tmp_path / name
+        os.makedirs(exp)
+        with open(exp / "specs.json", "w") as f:
+            json.dump(specs, f)
+        states[name] = main_function(str(exp), None, seed=0, use_mesh=use_mesh)
+
+    assert len(states["mesh"].latents.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(states["mesh"].latents), np.asarray(states["single"].latents),
+        rtol=2e-5, atol=1e-7)
+    for name, leaf_m, leaf_s in zip(
+            _param_names(states["mesh"].params),
+            jax.tree_util.tree_leaves(states["mesh"].params),
+            jax.tree_util.tree_leaves(states["single"].params)):
+        np.testing.assert_allclose(np.asarray(leaf_m), np.asarray(leaf_s),
+                                   rtol=2e-5, atol=1e-7, err_msg=name)
+
+
+def _param_names(params):
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    return [".".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+            for path, _ in flat]
+
+
 def test_sharded_grid_eval_matches():
     from deepsdf_tpu.mesh.grid_eval import eval_sdf_grid, eval_sdf_grid_sharded, grid_coords
 

@@ -4,6 +4,7 @@
 import argparse
 
 import deepsdf_tpu.utils
+from deepsdf_tpu.parallel.mesh import initialize_distributed
 from deepsdf_tpu.train.loop import main_function
 
 if __name__ == "__main__":
@@ -29,5 +30,8 @@ if __name__ == "__main__":
     deepsdf_tpu.utils.add_common_args(arg_parser)
     args = arg_parser.parse_args()
     deepsdf_tpu.utils.configure_logging(args)
+    # multi-host init BEFORE first jax use (auto-detects pod/SLURM
+    # environments, no-op single-host; SURVEY.md §5.8)
+    initialize_distributed()
     main_function(args.experiment_directory, args.continue_from,
                   int(args.batch_split), seed=args.seed, fused=args.fused)
