@@ -207,10 +207,94 @@ class DoubleLatticeExtruded:
         verts, faces, _, _ = marching_tetrahedra(grid, 0.0, (h, h, h))
         return verts - 1.02, faces
 
+    @staticmethod
+    def _patches2d(thick_vert_hor, thick_diagonal, cl, v_one_half, v_one,
+                   v_zero):
+        """The reference's 20 bilinear patches in the lattice plane
+        (ref double_lattice_extruded.py:105-377). Evaluated twice: with
+        real constants for the geometry, and with the constants zeroed
+        and thicknesses = sensitivities for each derivative patch list
+        (the reference's i_derivative loop, :85-104)."""
+        s2 = np.sqrt(2.0)
+        a01 = v_zero
+        a02 = thick_vert_hor
+        a03 = thick_vert_hor + thick_diagonal * s2
+        a04 = (v_one - cl) * 0.5
+        a05 = v_one_half - thick_diagonal * s2
+        a06 = v_one_half
+        a07 = v_one_half + thick_diagonal * s2
+        a08 = (v_one + cl) * 0.5
+        a09 = v_one - (thick_vert_hor + thick_diagonal * s2)
+        a10 = v_one - thick_vert_hor
+        a11 = v_one
+        quads = [
+            [[a01, a01], [a02, a02], [a01, a04], [a02, a03]],
+            [[a01, a01], [a04, a01], [a02, a02], [a03, a02]],
+            [[a04, a01], [a08, a01], [a03, a02], [a09, a02]],
+            [[a08, a01], [a11, a01], [a09, a02], [a10, a02]],
+            [[a10, a02], [a11, a01], [a10, a03], [a11, a04]],
+            [[a11, a04], [a11, a08], [a10, a03], [a10, a09]],
+            [[a10, a09], [a11, a08], [a10, a10], [a11, a11]],
+            [[a09, a10], [a10, a10], [a08, a11], [a11, a11]],
+            [[a03, a10], [a09, a10], [a04, a11], [a08, a11]],
+            [[a02, a10], [a03, a10], [a01, a11], [a04, a11]],
+            [[a01, a08], [a02, a09], [a01, a11], [a02, a10]],
+            [[a01, a04], [a02, a03], [a01, a08], [a02, a09]],
+            [[a02, a09], [a05, a06], [a02, a10], [a06, a06]],
+            [[a02, a10], [a06, a06], [a03, a10], [a06, a07]],
+            [[a02, a02], [a06, a06], [a02, a03], [a05, a06]],
+            [[a02, a02], [a06, a06], [a03, a02], [a06, a05]],
+            [[a09, a02], [a10, a02], [a06, a05], [a06, a06]],
+            [[a06, a06], [a10, a02], [a07, a06], [a10, a03]],
+            [[a06, a06], [a07, a06], [a10, a10], [a10, a09]],
+            [[a06, a06], [a10, a10], [a06, a07], [a09, a10]],
+        ]
+        return [np.asarray(q, dtype=np.float64) for q in quads]
+
     def create_tile(self, parameters=None, parameter_sensitivities=None,
                     contact_length: float = 0.5, **kwargs):
-        """API-parity entry: returns (surface mesh as (verts, faces), None)
-        — the framework consumes tiles through ``create_surface_mesh`` /
-        ``sdf``; the reference's Bezier patch list is an implementation
-        detail of splinepy's FFD composition it no longer needs."""
-        return self.create_surface_mesh(parameters=parameters, **kwargs), None
+        """Reference-parity patch construction: 20 bilinear patches in
+        the x–z plane, extruded along y (ref
+        double_lattice_extruded.py:22-389). Returns
+        ``(patches, derivatives)`` where derivatives is a list (one per
+        design variable) of patch lists whose control points are
+        d(cp)/d(variable) — the reference's ``parameter_sensitivities``
+        contract: sensitivity patches reuse the same formulas with all
+        geometric constants zeroed and the thicknesses replaced by the
+        per-variable sensitivities (ref :85-104).
+        ``parameter_sensitivities`` shape: (1, n_params, n_derivatives).
+        """
+        if not isinstance(contact_length, float):
+            raise ValueError("Invalid Type")
+        if not (0.0 < contact_length < 1.0):
+            raise ValueError("Contact length must be in (0.,1.)")
+        if parameters is None:
+            parameters = np.ones((1, 2)) * 0.1
+        parameters = np.asarray(parameters, dtype=np.float64)
+        idx2 = 1 if parameters.shape[1] > 1 else 0
+        if not (np.all(parameters > 0) and np.all(parameters < self.PARAM_MAX)):
+            raise ValueError(
+                "Parameters must be between 0.01 and 0.5/(1+sqrt(2))=0.207")
+
+        def build(th_vh, th_d, real):
+            cl = contact_length if real else 0.0
+            one = 1.0 if real else 0.0
+            quads = self._patches2d(th_vh, th_d, cl, 0.5 * one, one, 0.0)
+            patches = []
+            for q in quads:
+                cp3 = np.insert(q, 1, 0.0, axis=1)      # (x, z) → (x, 0, z)
+                patches.append(Bezier([1, 1], cp3).extruded([0.0, 1.0 if real else 0.0, 0.0]))
+            return patches
+
+        splines = build(parameters[0, 0], parameters[0, idx2], real=True)
+        derivatives = None
+        if parameter_sensitivities is not None:
+            sens = np.asarray(parameter_sensitivities, dtype=np.float64)
+            if sens.ndim != 3:
+                raise ValueError(
+                    "parameter_sensitivities must be (1, n_params, n_derivs)")
+            derivatives = [
+                build(sens[0, 0, i], sens[0, idx2, i], real=False)
+                for i in range(sens.shape[2])
+            ]
+        return splines, derivatives

@@ -55,12 +55,42 @@ def gen_corner_spheres(sampler, n_samples, surface_samples=False):
         _write_gt_surfaces(sampler, info, split, sdfs=[m.SDF for m in ms])
 
 
-def gen_round_cross(sampler, n_samples, surface_samples=False):
-    """ref 04_simple_geom_creation.py:9-14."""
-    ms = [CrossMsSDF(r) for r in np.linspace(0.1, 0.75, 20)]
+def gen_round_cross(sampler, n_samples, surface_samples=False, extended=False):
+    """ref 04_simple_geom_creation.py:9-14 (20 shapes, r∈[0.1,0.75]).
+
+    ``extended`` appends 20 more shapes (ids 10020–10039) so the class
+    covers the 40 ids the reference's snappy_and_cylinders.json split
+    references (ref data/splits/snappy_and_cylinders.json). The
+    reference script generating those 40 is absent from the snapshot
+    (04_simple_geom_creation.py postdates it with 20), so the extra
+    radii are the midpoints of the committed sweep — round_cross_only
+    ids 10000–10019 keep the exact committed-script radii either way.
+    """
+    radii = list(np.linspace(0.1, 0.75, 20))
+    if extended:
+        radii += list(np.linspace(0.1, 0.75, 41)[1::2])
+    ms = [CrossMsSDF(r) for r in radii]
     info = {"dataset_name": "microstructure", "class_name": "round_cross"}
     split = sampler.sample_sdfs([m.SDF for m in ms], info, n_samples=n_samples)
-    sampler.write_json("round_cross_only.json", info, split)
+    sampler.write_json("round_cross_only.json", info, split[:20])
+    if extended:
+        sampler.write_json("round_cross_all.json", info, split)
+    if surface_samples:
+        _write_gt_surfaces(sampler, info, split, sdfs=[m.SDF for m in ms])
+    return split
+
+
+def gen_simple_geom(sampler, n_samples, surface_samples=False):
+    """simple_geom training data: 20 corner-spheres (default limit) +
+    20 round-cross shapes as ONE class (ref
+    04_simple_geom_creation.py:16-22, split
+    microstructure_round_cross_train.json)."""
+    ms = ([CornerSpheresSDF(r) for r in np.linspace(0.4, 1, 20)]
+          + [CrossMsSDF(r) for r in np.linspace(0.1, 0.75, 20)])
+    info = {"dataset_name": "microstructure",
+            "class_name": "corner_spheres_and_round_cross"}
+    split = sampler.sample_sdfs([m.SDF for m in ms], info, n_samples=n_samples)
+    sampler.write_json("microstructure_round_cross_train.json", info, split)
     if surface_samples:
         _write_gt_surfaces(sampler, info, split, sdfs=[m.SDF for m in ms])
 
@@ -93,32 +123,47 @@ def gen_snappy(sampler, n_samples, geometry_dir, resolution=20,
     sampler.write_json("snappy3D.json", info, split)
     if surface_samples:
         _write_gt_surfaces(sampler, info, split, meshes=meshes)
+    return split
 
 
 def gen_double_lattice(sampler, n_samples, geometry_dir, analytic=True,
-                       surface_samples=False):
-    """ref 10_gen_double_lattice_training_data.py:22-41 (21×21 shapes,
-    t1,t2∈[0.05,0.2]). ``analytic`` samples the exact CSG SDF on device;
-    otherwise meshes each tile and uses the winding-number SDF."""
+                       surface_samples=False, no_topo=False):
+    """Double-lattice tile datasets (ref
+    10_gen_double_lattice_training_data.py:22-41).
+
+    ``no_topo=False``: the FLAGSHIP 400-shape sweep t1,t2∈[0.01,0.2]
+    20×20 (the reference's double_lattice_3D.json has exactly 400 ids;
+    its script's comment "old was from 0.01 to 0.2" names the range).
+    ``no_topo=True``: the committed script's 441-shape 21×21 sweep
+    t∈[0.05,0.2] that avoids topological changes
+    (double_lattice_no_topo_3D.json). ``analytic`` samples the exact
+    CSG SDF on device; otherwise meshes each tile and uses the
+    winding-number SDF."""
     os.makedirs(geometry_dir, exist_ok=True)
+    if no_topo:
+        ts = np.linspace(0.05, 0.2, 21)
+        cls, split_name = "double_lattice_no_topo", "double_lattice_no_topo_3D.json"
+    else:
+        ts = np.linspace(0.01, 0.2, 20)
+        cls, split_name = "double_lattice", "double_lattice_3D.json"
     sdfs = []
     index = 0
     tile = DoubleLatticeExtruded()
-    for t1 in np.linspace(0.05, 0.2, 21):
-        for t2 in np.linspace(0.05, 0.2, 21):
+    for t1 in ts:
+        for t2 in ts:
             if analytic:
                 sdfs.append(tile.sdf(np.array([[t1, t2]])))
             else:
                 verts, faces = tile.create_surface_mesh(np.array([[t1, t2]]))
-                fname = f"{index}_double_lattice_{t1:.2f}_{t2:.2f}".replace(".", "_")
+                fname = f"{index}_{cls}_{t1:.2f}_{t2:.2f}".replace(".", "_")
                 write_ply(str(pathlib.Path(geometry_dir) / (fname + ".ply")),
                           verts, faces)
                 sdfs.append(SDFfromMesh(vertices=verts.astype(np.float32),
                                         faces=faces))
             index += 1
-    info = {"dataset_name": "microstructure", "class_name": "double_lattice"}
+    info = {"dataset_name": "microstructure", "class_name": cls}
     split = sampler.sample_sdfs(sdfs, info, n_samples=n_samples)
-    sampler.write_json("double_lattice_3D.json", info, split)
+    sampler.write_json(split_name, info, split)
     if surface_samples:
         _write_gt_surfaces(sampler, info, split, sdfs=sdfs)
 
@@ -127,16 +172,24 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("datasets", nargs="+",
                    choices=("corner_spheres", "round_cross", "snappy3D",
-                            "double_lattice"))
+                            "double_lattice", "double_lattice_no_topo",
+                            "simple_geom", "snappy_and_cylinders"))
     p.add_argument("--outdir", default="data/SdfSamples")
     p.add_argument("--splitdir", default="data/splits")
     p.add_argument("--geometry-dir", default="data/geometry")
     p.add_argument("--samples", type=float, default=1e5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (keeps the TPU tunnel free "
+                        "for training jobs; sampling is PRNG-deterministic "
+                        "either way)")
     p.add_argument("--surface-samples", action="store_true",
                    help="also write 30k-point GT surface clouds to "
                         "<data>/SurfaceSamples for chamfer/EMD evaluation")
     args = p.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     sampler = SDFSampler(args.outdir, args.splitdir, seed=args.seed)
     for ds in args.datasets:
@@ -144,6 +197,8 @@ if __name__ == "__main__":
             gen_corner_spheres(sampler, args.samples, args.surface_samples)
         elif ds == "round_cross":
             gen_round_cross(sampler, args.samples, args.surface_samples)
+        elif ds == "simple_geom":
+            gen_simple_geom(sampler, args.samples, args.surface_samples)
         elif ds == "snappy3D":
             gen_snappy(sampler, args.samples,
                        os.path.join(args.geometry_dir, "snappy_tile"),
@@ -152,3 +207,22 @@ if __name__ == "__main__":
             gen_double_lattice(sampler, args.samples,
                                os.path.join(args.geometry_dir, "double_lattice"),
                                surface_samples=args.surface_samples)
+        elif ds == "double_lattice_no_topo":
+            gen_double_lattice(sampler, args.samples,
+                               os.path.join(args.geometry_dir, "double_lattice"),
+                               surface_samples=args.surface_samples, no_topo=True)
+        elif ds == "snappy_and_cylinders":
+            # snappy 40 + the 40-id extended round_cross class, one
+            # combined split (ref data/splits/snappy_and_cylinders.json)
+            import json as _json
+            snappy_split = gen_snappy(
+                sampler, args.samples,
+                os.path.join(args.geometry_dir, "snappy_tile"),
+                surface_samples=args.surface_samples)
+            rc_split = gen_round_cross(sampler, args.samples,
+                                       args.surface_samples, extended=True)
+            combined = {"microstructure": {"snappy3D": snappy_split,
+                                           "round_cross": rc_split}}
+            with open(os.path.join(args.splitdir, "snappy_and_cylinders.json"),
+                      "w") as f:
+                _json.dump(combined, f, indent=2)

@@ -1,0 +1,222 @@
+"""Golden tile-geometry parity vs the reference's patch constructions.
+
+The reference builds Snappy3D and DoubleLatticeExtruded as explicit
+Bezier control-point tables (ref sdf_sampler/snappy_3d.py:290-580,
+sdf_sampler/double_lattice_extruded.py:85-389 — pure numpy+splinepy).
+These tests re-derive those control points INDEPENDENTLY (inline
+numpy: the raw 2-D tables, plus hand-rolled extrusion / degree
+elevation) and assert our tile generators reproduce them exactly —
+a control-point comparison, not a solid-fraction sanity band
+(VERDICT r1 #7).
+"""
+
+import numpy as np
+import pytest
+
+from deepsdf_tpu.sdf_sampler.tiles import DoubleLatticeExtruded, Snappy3D
+
+
+# ------------------------------------------------------------------ helpers
+# independent (test-local) extrusion + z-degree-elevation, written from
+# the Bezier definitions — NOT from deepsdf_tpu.ops.bspline
+
+def _extrude_z(cp2d):
+    """2-D cps -> linear-z volume cps (splinepy create.extruded with
+    [0,0,1]): layer z=0 then layer z=1, first parametric dim fastest."""
+    n = cp2d.shape[0]
+    out = np.zeros((2 * n, 3))
+    out[:n, :2] = cp2d
+    out[n:, :2] = cp2d
+    out[n:, 2] = 1.0
+    return out
+
+
+def _elevate_z(cp3d):
+    """Raise the (last, linear) z direction to quadratic: layers
+    z=0, mid=(P0+P1)/2, z=1 (classic Bezier degree elevation)."""
+    n = cp3d.shape[0] // 2
+    lo, hi = cp3d[:n], cp3d[n:]
+    return np.concatenate([lo, 0.5 * (lo + hi), hi], axis=0)
+
+
+# ------------------------------------------------------------------ Snappy3D
+
+def _snappy_expected(thickness, contact_length=0.1, a=0.1, b=0.1, r=0.15):
+    """The reference's control-point construction, re-typed from
+    snappy_3d.py:380-580 (2-D tables :388-510, extrusion+elevation
+    :512-516, mid-layer bow shifts :517-579)."""
+    cl2 = contact_length * 0.5
+    cl2i = 1.0 - cl2
+    ai = 1.0 - a
+    h = 0.5
+
+    quads2d = [
+        [[0, 0], [cl2, 0], [0, b], [cl2, b]],                      # spline_1
+        [[cl2i, 0], [1, 0], [cl2i, b], [1, b]],                    # spline_2
+        [[0, ai], [cl2, ai], [0, 1], [cl2, 1]],                    # spline_3
+        [[cl2i, ai], [1, ai], [cl2i, 1], [1, 1]],                  # spline_4
+        [[h - cl2, h - b], [h + cl2, h - b], [h - cl2, h], [h + cl2, h]],
+        [[h - cl2, h], [h + cl2, h], [h - cl2, h + a], [h + cl2, h + a]],
+    ]
+    beams2d = [
+        # spline_7 (lower-left)
+        [[cl2, 0], [cl2 + r, 0], [h - cl2 - r, h - b], [h - cl2, h - b],
+         [cl2, b], [cl2 + r, b], [h - cl2 - r, h], [h - cl2, h]],
+        # spline_8 (lower-right) = table + [0.5, 0]
+        (np.array([[cl2, h - b], [cl2 + r, h - b], [h - cl2 - r, 0], [h - cl2, 0],
+                   [cl2, h], [cl2 + r, h], [h - cl2 - r, b], [h - cl2, b]])
+         + [h, 0.0]).tolist(),
+        # spline_9 (upper-left)
+        [[cl2, ai], [cl2 + r, ai], [h - cl2 - r, h], [h - cl2, h],
+         [cl2, 1], [cl2 + r, 1], [h - cl2 - r, h + a], [h - cl2, h + a]],
+        # spline_10 (upper-right) = table + [0.5, 0]
+        (np.array([[cl2, h], [cl2 + r, h], [h - cl2 - r, ai], [h - cl2, ai],
+                   [cl2, h + a], [cl2 + r, h + a], [h - cl2 - r, 1], [h - cl2, 1]])
+         + [h, 0.0]).tolist(),
+    ]
+    vols = [_elevate_z(_extrude_z(np.asarray(q, float))) for q in quads2d]
+    vols += [_elevate_z(_extrude_z(np.asarray(q, float))) for q in beams2d]
+
+    vec = np.array([0.0, thickness, 0.0])
+    # beam mid-layer bows (ref :519-546); beams are vols[6..9]
+    for i, (minus, plus) in zip(
+            (6, 7, 8, 9),
+            ([(10, 11), (12, 13)], [(8, 9), (14, 15)],
+             [(8, 9), (14, 15)], [(10, 11), (12, 13)])):
+        vols[i][list(minus)] -= vec
+        vols[i][list(plus)] += vec
+    # block mid-layer shifts (ref :548-579)
+    for i, idxs, sign in ((0, (6, 7), +1), (1, (6, 7), +1), (2, (4, 5), -1),
+                          (3, (4, 5), -1), (4, (4, 5), -1), (5, (6, 7), +1)):
+        vols[i][list(idxs)] += sign * vec
+    return vols
+
+
+@pytest.mark.parametrize("t", [0.0, 0.05, 0.2])
+def test_snappy_control_point_golden(t):
+    patches, deriv = Snappy3D().create_tile(parameters=np.array([[t]]))
+    assert deriv is None
+    expected = _snappy_expected(t)
+    assert len(patches) == len(expected) == 10
+    for i, (got, exp) in enumerate(zip(patches, expected)):
+        assert got.control_points.shape == exp.shape, f"patch {i}"
+        np.testing.assert_allclose(got.control_points, exp, atol=1e-14,
+                                   err_msg=f"patch {i}")
+    # degrees: blocks [1,1,2], beams [3,1,2]
+    for i, p in enumerate(patches):
+        assert tuple(p.degrees) == ((1, 1, 2) if i < 6 else (3, 1, 2)), i
+
+
+# --------------------------------------------------- DoubleLatticeExtruded
+
+def _dl_expected(t1, t2, cl=0.5):
+    """The reference's 20-quad table (double_lattice_extruded.py:105-377)
+    with the x-z embedding + y-extrusion (:378-381)."""
+    s2 = np.sqrt(2.0)
+    a01, a02, a03 = 0.0, t1, t1 + t2 * s2
+    a04, a05, a06, a07, a08 = (1 - cl) / 2, 0.5 - t2 * s2, 0.5, 0.5 + t2 * s2, (1 + cl) / 2
+    a09, a10, a11 = 1 - (t1 + t2 * s2), 1 - t1, 1.0
+    quads = [
+        [[a01, a01], [a02, a02], [a01, a04], [a02, a03]],
+        [[a01, a01], [a04, a01], [a02, a02], [a03, a02]],
+        [[a04, a01], [a08, a01], [a03, a02], [a09, a02]],
+        [[a08, a01], [a11, a01], [a09, a02], [a10, a02]],
+        [[a10, a02], [a11, a01], [a10, a03], [a11, a04]],
+        [[a11, a04], [a11, a08], [a10, a03], [a10, a09]],
+        [[a10, a09], [a11, a08], [a10, a10], [a11, a11]],
+        [[a09, a10], [a10, a10], [a08, a11], [a11, a11]],
+        [[a03, a10], [a09, a10], [a04, a11], [a08, a11]],
+        [[a02, a10], [a03, a10], [a01, a11], [a04, a11]],
+        [[a01, a08], [a02, a09], [a01, a11], [a02, a10]],
+        [[a01, a04], [a02, a03], [a01, a08], [a02, a09]],
+        [[a02, a09], [a05, a06], [a02, a10], [a06, a06]],
+        [[a02, a10], [a06, a06], [a03, a10], [a06, a07]],
+        [[a02, a02], [a06, a06], [a02, a03], [a05, a06]],
+        [[a02, a02], [a06, a06], [a03, a02], [a06, a05]],
+        [[a09, a02], [a10, a02], [a06, a05], [a06, a06]],
+        [[a06, a06], [a10, a02], [a07, a06], [a10, a03]],
+        [[a06, a06], [a07, a06], [a10, a10], [a10, a09]],
+        [[a06, a06], [a10, a10], [a06, a07], [a09, a10]],
+    ]
+    out = []
+    for q in quads:
+        q = np.insert(np.asarray(q, float), 1, 0.0, axis=1)   # (x,z)->(x,0,z)
+        out.append(np.concatenate([q, q + [0.0, 1.0, 0.0]], axis=0))
+    return out
+
+
+def test_double_lattice_patch_golden():
+    t1, t2 = 0.1, 0.05
+    patches, deriv = DoubleLatticeExtruded().create_tile(
+        parameters=np.array([[t1, t2]]))
+    assert deriv is None
+    expected = _dl_expected(t1, t2)
+    assert len(patches) == 20
+    for i, (got, exp) in enumerate(zip(patches, expected)):
+        np.testing.assert_allclose(got.control_points, exp, atol=1e-14,
+                                   err_msg=f"patch {i}")
+        assert tuple(got.degrees) == (1, 1, 1), i
+
+
+def test_double_lattice_single_param_backcompat():
+    """(1,1) parameters drive both thicknesses (ref :62-66)."""
+    p1, _ = DoubleLatticeExtruded().create_tile(parameters=np.array([[0.1]]))
+    p2, _ = DoubleLatticeExtruded().create_tile(parameters=np.array([[0.1, 0.1]]))
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(a.control_points, b.control_points)
+
+
+def test_double_lattice_sensitivities_match_fd():
+    """Derivative patch lists = d(control points)/d(parameter), checked
+    by central differences through create_tile (correct-derivative
+    semantics; the reference's code path is never exercised upstream
+    and carries a spurious +y in the extruded derivative layer)."""
+    t = np.array([[0.1, 0.06]])
+    sens = np.zeros((1, 2, 2))
+    sens[0, 0, 0] = 1.0
+    sens[0, 1, 1] = 1.0
+    _, derivs = DoubleLatticeExtruded().create_tile(
+        parameters=t, parameter_sensitivities=sens)
+    assert derivs is not None and len(derivs) == 2
+    h = 1e-6
+    for var in range(2):
+        dt = np.zeros((1, 2))
+        dt[0, var] = h
+        plus, _ = DoubleLatticeExtruded().create_tile(parameters=t + dt)
+        minus, _ = DoubleLatticeExtruded().create_tile(parameters=t - dt)
+        for i, (dp, pp, pm) in enumerate(zip(derivs[var], plus, minus)):
+            fd = (pp.control_points - pm.control_points) / (2 * h)
+            np.testing.assert_allclose(dp.control_points, fd, atol=1e-7,
+                                       err_msg=f"var {var} patch {i}")
+
+
+def test_double_lattice_patches_agree_with_analytic_sdf():
+    """The analytic CSG SDF (what generates the training data) and the
+    Bezier patch union describe the SAME solid: patch-covered points
+    have sdf<=0, far-from-any-patch points have sdf>0."""
+    tile = DoubleLatticeExtruded()
+    t1, t2 = 0.12, 0.07
+    patches, _ = tile.create_tile(parameters=np.array([[t1, t2]]))
+
+    rng = np.random.default_rng(0)
+    uv = rng.uniform(0.05, 0.95, (300, 3))
+    inside_pts = []
+    for p in patches:
+        inside_pts.append(p.evaluate(uv[:20]))
+    inside_pts = np.concatenate(inside_pts, axis=0)     # points inside the solid
+    d_in = tile.sdf2d(inside_pts[:, [0, 2]], t1, t2)
+    assert (d_in <= 1e-6).all(), d_in.max()
+
+    # points sampled in the plane, distance > tol from every patch: outside
+    grid = rng.uniform(0, 1, (4000, 2))
+    d = tile.sdf2d(grid, t1, t2)
+    outside = grid[d > 0.02]
+    # verify none of them is inside any patch quad by evaluating a dense
+    # parametric cloud per patch and checking min distance
+    dense_uv = np.stack(np.meshgrid(np.linspace(0, 1, 25),
+                                    np.linspace(0, 1, 25)), -1).reshape(-1, 2)
+    dense_uv3 = np.concatenate([dense_uv, np.full((len(dense_uv), 1), 0.5)], 1)
+    cover = np.concatenate([p.evaluate(dense_uv3)[:, [0, 2]] for p in patches])
+    from scipy.spatial import cKDTree
+    dist, _ = cKDTree(cover).query(outside)
+    assert dist.min() > 5e-3  # outside points are not on any patch
