@@ -31,12 +31,40 @@ logger = logging.getLogger(__name__)
 
 # ---------------- element geometry ----------------
 
+def _det3(e):
+    """Batched 3×3 determinant, closed form (keeps the TPU program on
+    plain VPU arithmetic — the batched-LU `jnp.linalg.det/inv` path is
+    both slower and was implicated in the flagship-scale kernel fault)."""
+    return (e[..., 0, 0] * (e[..., 1, 1] * e[..., 2, 2] - e[..., 1, 2] * e[..., 2, 1])
+            - e[..., 0, 1] * (e[..., 1, 0] * e[..., 2, 2] - e[..., 1, 2] * e[..., 2, 0])
+            + e[..., 0, 2] * (e[..., 1, 0] * e[..., 2, 1] - e[..., 1, 1] * e[..., 2, 0]))
+
+
+def _inv3(e, det=None):
+    """Batched 3×3 inverse via the adjugate (closed form)."""
+    if det is None:
+        det = _det3(e)
+    adj = jnp.stack([
+        jnp.stack([e[..., 1, 1] * e[..., 2, 2] - e[..., 1, 2] * e[..., 2, 1],
+                   e[..., 0, 2] * e[..., 2, 1] - e[..., 0, 1] * e[..., 2, 2],
+                   e[..., 0, 1] * e[..., 1, 2] - e[..., 0, 2] * e[..., 1, 1]], -1),
+        jnp.stack([e[..., 1, 2] * e[..., 2, 0] - e[..., 1, 0] * e[..., 2, 2],
+                   e[..., 0, 0] * e[..., 2, 2] - e[..., 0, 2] * e[..., 2, 0],
+                   e[..., 0, 2] * e[..., 1, 0] - e[..., 0, 0] * e[..., 1, 2]], -1),
+        jnp.stack([e[..., 1, 0] * e[..., 2, 1] - e[..., 1, 1] * e[..., 2, 0],
+                   e[..., 0, 1] * e[..., 2, 0] - e[..., 0, 0] * e[..., 2, 1],
+                   e[..., 0, 0] * e[..., 1, 1] - e[..., 0, 1] * e[..., 1, 0]], -1),
+    ], -2)
+    return adj / det[..., None, None]
+
+
 def _grad_shape(verts, tets):
     """P1 shape-function gradients per element: (T, 4, 3), + volumes (T,)."""
     v = verts[tets]                                   # (T, 4, 3)
     e = v[:, 1:] - v[:, :1]                           # (T, 3, 3) edge matrix rows
-    vol = jnp.linalg.det(e) / 6.0                     # signed; positive for oriented mesh
-    inv = jnp.linalg.inv(e)
+    det = _det3(e)
+    vol = det / 6.0                                   # signed; positive for oriented mesh
+    inv = _inv3(e, det)
     # barycentric λ satisfy x − v0 = Eᵀλ (E rows = edges) ⇒ ∂λ_i/∂x_j = inv(E)[j, i]
     gN = jnp.stack([inv[:, :, 0], inv[:, :, 1], inv[:, :, 2]], axis=1)  # (T,3,3) ∇N1..3
     g0 = -gN.sum(axis=1, keepdims=True)
@@ -287,6 +315,8 @@ def _solve_jax_refined(verts, tets, lam, mu, force, ess_mask,
     vj = jnp.asarray(verts_p, jnp.float32)
     tj = jnp.asarray(tets_p)
     mj = jnp.asarray(mask_p)
+    perm_j = jnp.asarray(np.argsort(tets_p.reshape(-1), kind="stable"),
+                         jnp.int32)
 
     x = np.zeros_like(b)
     if x0 is not None:
@@ -310,7 +340,7 @@ def _solve_jax_refined(verts, tets, lam, mu, force, ess_mask,
         r_pad[:V] = r / rnorm
         d, it = jax.device_get(solve_elasticity(
             vj, tj, lam, mu, jnp.asarray(r_pad, jnp.float32), mj,
-            inner_tol, max_iter))  # ONE host<->device sync per round
+            inner_tol, max_iter, perm_j))  # ONE host<->device sync per round
         logger.debug("refinement round %d: relres %.3e, %d CG iterations",
                      round_, relres, int(it))
         x = x + rnorm * np.asarray(d, np.float64)[:V]
@@ -324,30 +354,36 @@ def _solve_jax_refined(verts, tets, lam, mu, force, ess_mask,
     return x
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
-def solve_elasticity(verts, tets, lam, mu, force, ess_mask,
-                     rel_tol: float = 1e-10, max_iter: int = 10000):
-    """Preconditioned CG on the masked operator; returns (x, iterations).
-
-    Element geometry (shape gradients, volumes, preconditioner blocks)
-    is computed ONCE outside the while_loop — only the O(T) stress
-    matvec runs per iteration."""
-    b = jnp.where(ess_mask[:, None], 0.0, force)
+def _cg_ops(verts, tets, lam, mu, ess_mask, perm):
+    """Shared element precompute + (A, M, accumulate) closures."""
     gN, vol = _grad_shape(verts, tets)
     vol = jnp.abs(vol)
-    eye = jnp.eye(3, dtype=b.dtype)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    V = verts.shape[0]
+    # Sorted-accumulation form: every assembly is a gather by a
+    # HOST-precomputed permutation + contiguous segment_sum instead of
+    # an unsorted scatter-add (TPU scatter serializes on duplicate
+    # indices; a 4M-row device argsort is also avoidable since the
+    # permutation is static per mesh).
+    if perm is None:
+        perm = jnp.argsort(tets.reshape(-1))
+    seg_ids = tets.reshape(-1)[perm]
+
+    def accumulate(per_corner):                        # (4T, ...) -> (V, ...)
+        return jax.ops.segment_sum(per_corner[perm], seg_ids,
+                                   num_segments=V, indices_are_sorted=True)
+
     outer = jnp.einsum("tai,taj->taij", gN, gN)
     dots = jnp.einsum("tai,tai->ta", gN, gN)
     blocks = ((lam + mu) * outer
               + mu * dots[..., None, None] * eye) * vol[:, None, None, None]
-    acc = jnp.zeros((verts.shape[0], 3, 3), b.dtype).at[tets.reshape(-1)].add(
-        blocks.reshape(-1, 3, 3))
+    acc = accumulate(blocks.reshape(-1, 3, 3))
     acc = jnp.where(ess_mask[:, None, None], eye[None], acc)
     # vertices referenced by no tet (e.g. after orphan removal) have a
     # zero block — pin them to identity like the scipy path's d[d==0]=1
     unref = jnp.abs(acc).sum(axis=(1, 2)) == 0
     acc = jnp.where(unref[:, None, None], eye[None], acc)
-    pinv = jnp.linalg.inv(acc)
+    pinv = _inv3(acc)
 
     def A(u):
         u0 = jnp.where(ess_mask[:, None], 0.0, u)
@@ -355,23 +391,43 @@ def solve_elasticity(verts, tets, lam, mu, force, ess_mask,
         div = jnp.trace(grad, axis1=1, axis2=2)
         sigma = lam * div[:, None, None] * eye + mu * (grad + jnp.swapaxes(grad, 1, 2))
         f_e = jnp.einsum("t,tij,taj->tai", vol, sigma, gN)
-        y = jnp.zeros_like(u).at[tets.reshape(-1)].add(f_e.reshape(-1, 3))
+        y = accumulate(f_e.reshape(-1, 3))
         return jnp.where(ess_mask[:, None], u, y)
 
     def M(r):
         return jnp.einsum("vij,vj->vi", pinv, r)
 
-    x0 = jnp.zeros_like(b)
-    r0 = b - A(x0)
+    return A, M
+
+
+@jax.jit
+def _cg_start(verts, tets, lam, mu, force, ess_mask, perm):
+    b = jnp.where(ess_mask[:, None], 0.0, force)
+    A, M = _cg_ops(verts, tets, lam, mu, ess_mask, perm)
+    r0 = b - A(jnp.zeros_like(b))
     z0 = M(r0)
-    bnorm2 = jnp.sum(b * b) + 1e-300
-    tol2 = rel_tol ** 2 * bnorm2
+    bnorm2 = jnp.sum(b * b) + 1e-30
+    return (jnp.zeros_like(b), r0, z0, z0, jnp.sum(r0 * z0),
+            jnp.int32(0), jnp.bool_(True)), bnorm2
 
-    def cond(state):
+
+@partial(jax.jit, static_argnames=("chunk",), donate_argnums=(6,))
+def _cg_chunk(verts, tets, lam, mu, ess_mask, perm, state, tol2,
+              chunk: int = 100):
+    """Up to ``chunk`` PCG iterations as one device program. Bounding
+    the per-dispatch iteration count keeps single XLA programs short —
+    an unbounded 748k-tet while_loop reproducibly killed the TPU worker
+    through the tunnel — and makes the TOTAL budget a dynamic value (no
+    recompile per max_iter)."""
+    A, M = _cg_ops(verts, tets, lam, mu, ess_mask, perm)
+
+    def cond(carry):
+        state, n = carry
         x, r, z, p, rz, it, ok = state
-        return (jnp.sum(r * r) > tol2) & (it < max_iter) & ok
+        return (n < chunk) & (jnp.sum(r * r) > tol2) & ok
 
-    def body(state):
+    def body(carry):
+        state, n = carry
         x, r, z, p, rz, it, ok = state
         Ap = A(p)
         pAp = jnp.sum(p * Ap)
@@ -385,8 +441,40 @@ def solve_elasticity(verts, tets, lam, mu, force, ess_mask,
         z = M(r)
         rz_new = jnp.sum(r * z)
         p = z + jnp.where(good, rz_new / jnp.where(good, rz, 1.0), 0.0) * p
-        return x, r, z, p, rz_new, it + 1, good
+        return (x, r, z, p, rz_new, it + 1, good), n + 1
 
-    x, r, z, p, rz, it, ok = jax.lax.while_loop(
-        cond, body, (x0, r0, z0, r0 * 0 + z0, jnp.sum(r0 * z0), 0, jnp.bool_(True)))
-    return x, it
+    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    x, r, z, p, rz, it, ok = state
+    # one tiny packed status read per chunk (host decides to continue)
+    status = jnp.stack([jnp.sum(r * r), it.astype(jnp.float32),
+                        ok.astype(jnp.float32)])
+    return state, status
+
+
+def solve_elasticity(verts, tets, lam, mu, force, ess_mask,
+                     rel_tol: float = 1e-10, max_iter: int = 10000,
+                     perm=None, chunk: int = 100):
+    """Preconditioned CG on the masked operator; returns (x, iterations).
+
+    Element geometry (shape gradients, volumes, preconditioner blocks)
+    is computed once per dispatch; the iteration runs in ``chunk``-sized
+    device programs with one scalar status read between chunks (~1 RTT
+    each through the tunnel). ``perm``: host-precomputed argsort of
+    ``tets.reshape(-1)`` (computed on device if omitted)."""
+    if perm is None:
+        perm = jnp.argsort(tets.reshape(-1))
+    lam = jnp.float32(lam)
+    mu = jnp.float32(mu)
+    state, bnorm2 = _cg_start(verts, tets, lam, mu, force, ess_mask, perm)
+    tol2 = jnp.float32(rel_tol ** 2) * bnorm2
+    it = 0
+    while it < max_iter:
+        # chunk size stays static across calls (one compile per shape
+        # bucket); the budget may overshoot max_iter by < chunk
+        state, status = _cg_chunk(verts, tets, lam, mu, ess_mask, perm,
+                                  state, tol2, chunk=chunk)
+        res2, it_f, ok = np.asarray(status)   # host sync, 3 floats
+        it = int(it_f)
+        if res2 <= float(np.asarray(tol2)) or not ok:
+            break
+    return state[0], state[5]

@@ -51,6 +51,7 @@ def gen_corner_spheres(sampler, n_samples, surface_samples=False):
     info = {"dataset_name": "microstructure", "class_name": "corner_spheres"}
     split = sampler.sample_sdfs([m.SDF for m in ms], info, n_samples=n_samples)
     sampler.write_json("corner_spheres_only.json", info, split)
+    sampler.write_json("corner_spheres.json", info, split)  # ref ships both names
     if surface_samples:
         _write_gt_surfaces(sampler, info, split, sdfs=[m.SDF for m in ms])
 

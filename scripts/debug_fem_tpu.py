@@ -34,7 +34,7 @@ def stage1():
              bf=np.asarray(bf), markers=np.asarray(markers))
 
 
-def stage2(frac=1.0):
+def stage2(frac=1.0, max_iter=2000):
     import jax
     import jax.numpy as jnp
 
@@ -56,10 +56,13 @@ def stage2(frac=1.0):
         contrib = (area[:, None] / 3.0) * np.array([0, 0, -0.01])
         for k in range(3):
             np.add.at(force, load_faces[:, k], contrib)
-    print(f"solving V={len(verts)} T={T} ess={ess.sum()} ...", flush=True)
+    perm = jnp.asarray(np.argsort(tets.reshape(-1), kind="stable"), jnp.int32)
+    print(f"solving V={len(verts)} T={T} ess={ess.sum()} mi={max_iter} ...",
+          flush=True)
     x, it = jax.device_get(solve_elasticity(
         jnp.asarray(verts, jnp.float32), jnp.asarray(tets),
-        0.0, 105.0, jnp.asarray(force), jnp.asarray(ess), 1e-6, 2000))
+        0.0, 105.0, jnp.asarray(force), jnp.asarray(ess), 1e-6, max_iter,
+        perm))
     print("done: iters", int(it), "max|u|", float(np.abs(x).max()), flush=True)
 
 
@@ -67,4 +70,5 @@ if __name__ == "__main__":
     if sys.argv[1] == "1":
         stage1()
     else:
-        stage2(float(sys.argv[2]) if len(sys.argv) > 2 else 1.0)
+        stage2(float(sys.argv[2]) if len(sys.argv) > 2 else 1.0,
+               int(sys.argv[3]) if len(sys.argv) > 3 else 2000)

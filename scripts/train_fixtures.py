@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Sequential fixture pipeline: train -> reconstruct -> evaluate for a
+list of experiments, one TPU job at a time (the axon tunnel stalls
+under concurrent heavy jobs — CLAUDE.md). Resumable: finished stages
+are detected from their artifacts and skipped.
+
+    python scripts/train_fixtures.py exp1 exp2 ...     # names under experiments/
+    python scripts/train_fixtures.py --all             # the round-2 queue
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+# round-2 queue, cheap-first so early failures surface fast
+DEFAULT_QUEUE = [
+    "external_knots",
+    "double_lattice_3D_small_network",
+    "corner_spheres_only_small_network",
+    "round_cross_small_network",
+    "round_cross_big_network",
+    "double_lattice_3D_no_topo",
+    "snappy3D_latent_2D_smaller_network",
+    "double_lattice_3D",
+    "snappy3D",
+    "simple_geom",
+    "corner_spheres_only",
+    "snappy3D_latent_2D",
+    "snappy_and_cylinders",
+]
+
+
+def run(cmd, log_path):
+    print(f"$ {' '.join(cmd)}  (log: {log_path})", flush=True)
+    t0 = time.time()
+    with open(log_path, "a") as log:
+        r = subprocess.run(cmd, cwd=ROOT, stdout=log, stderr=subprocess.STDOUT)
+    print(f"  -> rc={r.returncode} in {time.time() - t0:.0f}s", flush=True)
+    return r.returncode
+
+
+def pipeline(name: str, fused: bool = True, force: bool = False) -> bool:
+    exp = ROOT / "experiments" / name
+    specs = json.load(open(exp / "specs.json"))
+    last = str(specs["NumEpochs"])
+    log = f"/tmp/fixture_{name}.log"
+
+    if force or not (exp / "ModelParameters" / f"{last}.npz").exists():
+        cmd = [sys.executable, "train_deep_sdf.py", "-e", str(exp)]
+        if fused:
+            cmd.append("--fused")
+        if (exp / "ModelParameters" / "latest.npz").exists():
+            cmd += ["--continue", "latest"]
+        if run(cmd, log):
+            return False
+    else:
+        print(f"  {name}: trained ({last}.npz present)", flush=True)
+
+    recon_marker = exp / "Reconstructions" / last / "Meshes"
+    if force or not recon_marker.exists():
+        if run([sys.executable, "reconstruct.py", "-e", str(exp),
+                "-c", last], log):
+            return False
+
+    eval_marker = exp / "Evaluation" / last / "chamfer.json"
+    if force or not eval_marker.exists():
+        if run([sys.executable, "evaluate.py", "-e", str(exp), "-c", last,
+                "--emd"], log):
+            return False
+    print(f"  {name}: PIPELINE COMPLETE", flush=True)
+    return True
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("experiments", nargs="*")
+    p.add_argument("--all", action="store_true")
+    p.add_argument("--no-fused", action="store_true")
+    p.add_argument("--force", action="store_true")
+    args = p.parse_args()
+    queue = DEFAULT_QUEUE if args.all else args.experiments
+    failures = []
+    for name in queue:
+        print(f"=== {name} ===", flush=True)
+        try:
+            ok = pipeline(name, fused=not args.no_fused, force=args.force)
+        except Exception as e:
+            print(f"  {name}: EXCEPTION {e}", flush=True)
+            ok = False
+        if not ok:
+            failures.append(name)
+    print(f"queue done; failures: {failures or 'none'}", flush=True)
+    sys.exit(1 if failures else 0)
