@@ -156,3 +156,38 @@ def test_cli_binaries(native, tmp_path):
     assert pts.shape == (2000, 3)
     norm = np.load(out_norm)
     assert "offset.npy" in norm and "scale.npy" in norm
+
+
+def test_preprocess_data_cli(native, tmp_path):
+    """preprocess_data.py (the restored upstream driver) walks a split
+    and produces the SdfSamples / SurfaceSamples / NormalizationParameters
+    layout (ref README.md:79-145)."""
+    import json
+    import sys
+
+    from deepsdf_tpu.mesh.ply import write_ply
+
+    verts, faces = icosphere(2, 0.7)
+    src = tmp_path / "source" / "spheres"
+    os.makedirs(src)
+    write_ply(str(src / "sp_0.ply"), verts, faces)
+    split_path = tmp_path / "split.json"
+    with open(split_path, "w") as f:
+        json.dump({"mini": {"spheres": ["sp_0"]}}, f)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data_dir = tmp_path / "data"
+    base = [sys.executable, os.path.join(root, "preprocess_data.py"),
+            "--data_dir", str(data_dir), "--source", str(tmp_path / "source"),
+            "--name", "minids", "--split", str(split_path)]
+    subprocess.run(base + ["--samples", "4000"], check=True, cwd=root,
+                   capture_output=True)
+    npz = np.load(data_dir / "SdfSamples" / "minids" / "spheres" / "sp_0.npz")
+    assert len(npz["pos.npy"]) + len(npz["neg.npy"]) == 4000
+    assert len(npz["neg.npy"]) > 500  # sphere interior gets hit
+
+    subprocess.run(base + ["--surface"], check=True, cwd=root,
+                   capture_output=True)
+    assert (data_dir / "SurfaceSamples" / "minids" / "spheres" / "sp_0.ply").exists()
+    assert (data_dir / "NormalizationParameters" / "minids" / "spheres"
+            / "sp_0.npz").exists()
