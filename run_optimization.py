@@ -2,10 +2,16 @@
 """Run a structure optimization (CLI parity: ref run_optimization.py:9-21)."""
 
 import argparse
+import faulthandler
+import signal
 
 from deepsdf_tpu.opt.driver import configure_logging, struct_optimization
 
 if __name__ == "__main__":
+    # ops aid: `kill -USR1 <pid>` dumps all python thread stacks to
+    # stderr without interrupting the run (long remote compiles through
+    # the TPU tunnel are otherwise indistinguishable from hangs)
+    faulthandler.register(signal.SIGUSR1)
     parser = argparse.ArgumentParser()
     parser.add_argument("optimization_folder", type=str,
                         help="folder containing config.json")
