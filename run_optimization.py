@@ -18,7 +18,14 @@ if __name__ == "__main__":
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--fem", choices=("scipy", "jax"), default="scipy",
                         help="FEM solve path: host float64 or accelerator CG")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU jax backend for the decoder "
+                             "grid evals (keeps the run independent of the "
+                             "TPU tunnel; pair with --fem scipy)")
     args = parser.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     configure_logging(args.optimization_folder, debug=args.debug)
     opt = struct_optimization(args.optimization_folder, fem_method=args.fem)
     opt.run_optimization()
