@@ -18,18 +18,20 @@ import time
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
-# round-2 queue, cheap-first so early failures surface fast
+# round-2 queue: VERDICT-critical first (external pipeline proof, the
+# optimization's decoder, the explicitly-requested retrains, the
+# flagship), then recipes new this round, cheap before expensive
 DEFAULT_QUEUE = [
     "external_knots",
     "double_lattice_3D_small_network",
     "corner_spheres_only_small_network",
-    "round_cross_small_network",
+    "double_lattice_3D",
+    "simple_geom",
     "round_cross_big_network",
+    "round_cross_small_network",
     "double_lattice_3D_no_topo",
     "snappy3D_latent_2D_smaller_network",
-    "double_lattice_3D",
     "snappy3D",
-    "simple_geom",
     "corner_spheres_only",
     "snappy3D_latent_2D",
     "snappy_and_cylinders",
