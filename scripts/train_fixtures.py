@@ -35,6 +35,8 @@ DEFAULT_QUEUE = [
     "corner_spheres_only",
     "snappy3D_latent_2D",
     "snappy_and_cylinders",
+    # most expensive last: 10000 epochs, resumable via SnapshotFrequency=2000
+    "double_lattice_3D_longer_training",
 ]
 
 

@@ -92,6 +92,38 @@ def main():
                   f"rel={rel:.3f}")
             assert rel < 0.08, f"{impl} d{name} FD mismatch: {fd} vs {an}"
 
+    # --- fused kernel under SPMD: production train_step on a sharded
+    # Mesh on the REAL chip (1 device here; the partitioner still wraps
+    # the Pallas call in SPMD machinery, which interpret mode cannot
+    # exercise — xla spmd RET_CHECK on io_callback, see __graft_entry__) ---
+    from deepsdf_tpu.data.dataset import DevicePools
+    from deepsdf_tpu.parallel.mesh import (
+        data_sharded, make_mesh, replicated, shard_train_state,
+    )
+    from deepsdf_tpu.train.step import TrainConfig, init_train_state, train_step
+
+    mesh = make_mesh(len(jax.devices()))
+    cfg = TrainConfig(decoder=config, samples_per_scene=512, scenes_per_batch=2,
+                      clamp_dist=0.1, code_bound=1.0, batch_split=1, fused=True)
+    rngp = np.random.default_rng(5)
+    pts = rngp.uniform(-1, 1, (4, 1024, 3)).astype(np.float32)
+    d = np.abs(np.linalg.norm(pts, axis=-1) - 0.6).astype(np.float32)
+    rows = np.concatenate([pts, d[..., None]], axis=-1)
+    pools = jax.device_put(
+        DevicePools(pos=jnp.asarray(rows), neg=jnp.asarray(-rows),
+                    pos_counts=jnp.full(4, 1024, jnp.int32),
+                    neg_counts=jnp.full(4, 1024, jnp.int32)),
+        replicated(mesh))
+    st = shard_train_state(mesh, init_train_state(
+        params, 0.01 * jax.random.normal(jax.random.PRNGKey(4), (4, 2))))
+    idx = jax.device_put(jnp.arange(2, dtype=jnp.int32), data_sharded(mesh))
+    st2, loss = train_step(st, pools, idx, jax.random.PRNGKey(9),
+                           jnp.float32(5e-4), jnp.float32(1e-3),
+                           jnp.float32(1.0), cfg)
+    assert np.isfinite(float(loss)), f"sharded fused step loss: {loss}"
+    print(f"fused train_step under sharded Mesh({len(jax.devices())} dev): "
+          f"loss {float(loss):.4f} OK")
+
     # --- grid eval timing (vs ref 18,081 fwd pts in 0.033 s / 316k ~1 s) ---
     config32 = DecoderConfig(latent_size=2, dims=(32,) * 4, geom_dimension=3)
     params32 = init_decoder_params(jax.random.PRNGKey(1), config32)
