@@ -31,9 +31,15 @@ def reconstruct_split(experiment_directory: str, checkpoint: str, split: dict,
                       skip: bool = True, mesh_resolution: int = 256,
                       seed: int = 0, rcfg: ReconstructConfig = ReconstructConfig(),
                       write_meshes: bool = True,
-                      sparse: bool = False) -> dict[str, np.ndarray]:
+                      sparse: bool = False,
+                      max_shapes: int | None = None) -> dict[str, np.ndarray]:
     """Infer latents for every instance in ``split``; write codes and
     (optionally) 256³ meshes under Reconstructions/<epoch>/.
+
+    ``max_shapes`` caps the run to an evenly-strided subset of the
+    split (deterministic; first instance always included) — the full
+    400-shape double_lattice splits cost ~80 min of mesh extraction
+    each, which a representative subset covers for evaluation.
 
     Returns {instance_relpath: latent}.
     """
@@ -43,6 +49,9 @@ def reconstruct_split(experiment_directory: str, checkpoint: str, split: dict,
     data_source = data_source or specs["DataSource"]
 
     files = get_instance_filenames(data_source, split, strict=True)
+    if max_shapes is not None and 0 < max_shapes < len(files):
+        idx = np.linspace(0, len(files) - 1, max_shapes).round().astype(int)
+        files = [files[i] for i in sorted(set(idx.tolist()))]
     rng = np.random.default_rng(seed)
 
     # assemble a fixed-size balanced sample stack for the vmapped solver

@@ -69,6 +69,15 @@ int main(int argc, char** argv) {
   std::vector<float> pts(3 * (size_t)num_sample);
   dsdf_sample_surface(mesh, num_sample, seed, pts.data());
 
+  // The reference stores surface samples in the ORIGINAL mesh frame
+  // (ref src/SampleVisibleMeshSurface.cpp:298-313 re-applies the
+  // inverse view/normalization); evaluate.py then maps the normalized
+  // reconstruction back via gen/scale - offset. Undo the unit-sphere
+  // normalization on the samples accordingly.
+  for (int i = 0; i < num_sample; i++)
+    for (int k = 0; k < 3; k++)
+      pts[3 * (size_t)i + k] = pts[3 * (size_t)i + k] / scale - offset[k];
+
   std::ofstream out(ply_out, std::ios::binary);
   out << "ply\nformat binary_little_endian 1.0\nelement vertex " << num_sample
       << "\nproperty float x\nproperty float y\nproperty float z\n"
