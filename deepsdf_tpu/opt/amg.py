@@ -1,0 +1,252 @@
+"""Smoothed-aggregation AMG preconditioner for the elasticity solve.
+
+The reference converges its flagship FEM with CG + GSSmoother on MFEM's
+sparse matrix (ref analysis/MFEMLinearElasticity.py:317-326).  On the
+stuffed lattice meshes the free-dof system is far too ill-conditioned
+for one-level smoothing at 10k iterations (thin struts, ~5e5 dofs:
+Jacobi-CG stalls at 1e-1..1e-2 relative residual — round-2 logs), so
+this module provides the standard cure: a smoothed-aggregation algebraic
+multigrid V-cycle (Vanek/Mandel/Brezina 1996) used as the CG
+preconditioner.  All smoothing is polynomial (Chebyshev-Jacobi), i.e.
+pure matvecs — no triangular solves — which both runs fast in scipy and
+maps 1:1 onto the TPU segment-sum operator apply if ported.
+
+Design notes
+- Near-nullspace: the 6 rigid-body modes, rotated per aggregate into an
+  orthonormal local basis (SVD, rank-trimmed) → tentative prolongation.
+- Aggregation: greedy distance-1 aggregation on the node graph
+  (pass 1 seeds star aggregates, pass 2 attaches leftovers).
+- Prolongation smoothing: P = (I - 4/3 rho^-1 D^-1 A) T.
+- Coarse solve: sparse LU (splu) at <= `coarse_size` dofs.
+- The V-cycle is symmetric (same Chebyshev pre/post smoother), so it is
+  a valid SPD preconditioner for CG.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import scipy.sparse as sp
+from scipy.sparse.linalg import LinearOperator, splu
+
+logger = logging.getLogger(__name__)
+
+
+def rigid_body_modes(coords: np.ndarray) -> np.ndarray:
+    """(V, 3) vertex coords -> (3V, 6) translations + infinitesimal rotations."""
+    V = len(coords)
+    x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
+    B = np.zeros((3 * V, 6))
+    B[0::3, 0] = 1.0
+    B[1::3, 1] = 1.0
+    B[2::3, 2] = 1.0
+    B[0::3, 3] = -y
+    B[1::3, 3] = x
+    B[0::3, 4] = -z
+    B[2::3, 4] = x
+    B[1::3, 5] = -z
+    B[2::3, 5] = y
+    return B
+
+
+def _node_graph(A: sp.csr_matrix, block: int) -> sp.csr_matrix:
+    """Collapse a (block*N, block*N) dof matrix to its N-node connectivity."""
+    n = A.shape[0] // block
+    coo = A.tocoo()
+    mask = coo.data != 0
+    r = coo.row[mask] // block
+    c = coo.col[mask] // block
+    g = sp.coo_matrix((np.ones(len(r), np.int8), (r, c)), shape=(n, n)).tocsr()
+    g.setdiag(0)
+    g.eliminate_zeros()
+    return g
+
+
+def _aggregate(graph: sp.csr_matrix) -> np.ndarray:
+    """Greedy aggregation; returns (n,) aggregate id per node (-1 never
+    remains: isolated nodes become their own aggregate)."""
+    n = graph.shape[0]
+    agg = np.full(n, -1, np.int64)
+    indptr, indices = graph.indptr, graph.indices
+    next_agg = 0
+    # pass 1: nodes whose whole neighborhood is free seed a star aggregate
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbrs = indices[indptr[i]:indptr[i + 1]]
+        if len(nbrs) and np.all(agg[nbrs] == -1):
+            agg[i] = next_agg
+            agg[nbrs] = next_agg
+            next_agg += 1
+    # pass 2: attach leftovers to the most-connected neighboring aggregate
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbrs = indices[indptr[i]:indptr[i + 1]]
+        owned = agg[nbrs]
+        owned = owned[owned != -1]
+        if len(owned):
+            agg[i] = np.bincount(owned).argmax()
+        else:  # isolated node
+            agg[i] = next_agg
+            next_agg += 1
+    return agg
+
+
+def _tentative_prolongation(agg: np.ndarray, B: np.ndarray, block: int):
+    """Per-aggregate orthonormalized near-nullspace -> (T, B_coarse).
+
+    Rank-deficient aggregates (e.g. a 2-node aggregate cannot represent
+    rotation about its own axis) are SVD-trimmed, so coarse block sizes
+    vary and T always has full column rank."""
+    n_nodes = len(agg)
+    n_agg = int(agg.max()) + 1
+    nb = B.shape[1]
+    order = np.argsort(agg, kind="stable")
+    bounds = np.searchsorted(agg[order], np.arange(n_agg + 1))
+
+    rows_l, cols_l, vals_l = [], [], []
+    Bc_rows = []
+    col_off = 0
+    for g in range(n_agg):
+        nodes = order[bounds[g]:bounds[g + 1]]
+        dofs = (nodes[:, None] * block + np.arange(block)[None, :]).ravel()
+        Bg = B[dofs]                                    # (d, nb)
+        U, s, Vt = np.linalg.svd(Bg, full_matrices=False)
+        rank = int(np.sum(s > max(s[0], 1e-300) * 1e-10))
+        rank = max(rank, 1)
+        Q = U[:, :rank]                                 # (d, rank)
+        rows_l.append(np.repeat(dofs, rank))
+        cols_l.append(np.tile(np.arange(col_off, col_off + rank), len(dofs)))
+        vals_l.append(Q.ravel())
+        # coarse near-nullspace: Q^T Bg  (rank, nb)
+        Bc_rows.append(Q.T @ Bg)
+        col_off += rank
+    T = sp.coo_matrix(
+        (np.concatenate(vals_l), (np.concatenate(rows_l), np.concatenate(cols_l))),
+        shape=(n_nodes * block, col_off)).tocsr()
+    Bc = np.concatenate(Bc_rows, axis=0)
+    return T, Bc
+
+
+def _spectral_radius(A: sp.csr_matrix, dinv: np.ndarray, iters: int = 12,
+                     seed: int = 0) -> float:
+    """Power-iteration estimate of rho(D^-1 A)."""
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(A.shape[0])
+    v /= np.linalg.norm(v)
+    lam = 1.0
+    for _ in range(iters):
+        w = dinv * (A @ v)
+        lam = np.linalg.norm(w)
+        if lam == 0:
+            return 1.0
+        v = w / lam
+    return float(lam)
+
+
+class _Level:
+    __slots__ = ("A", "P", "dinv", "rho", "cheb_coeffs")
+
+
+def _chebyshev_coeffs(lo: float, hi: float, degree: int) -> np.ndarray:
+    """Coefficients of the optimal smoothing polynomial on [lo, hi].
+
+    Returns c so that the smoother update is
+    x += p(D^-1 A) D^-1 r with p expressed via the recurrence below —
+    we store the scaled Chebyshev recurrence parameters instead of
+    monomial coefficients for numerical stability."""
+    return np.array([lo, hi, degree], dtype=np.float64)
+
+
+def _chebyshev_apply(A, dinv, params, r):
+    """One Chebyshev smoothing sweep from x=0: returns x ~= A^-1 r.
+
+    Standard 3-term recurrence for the polynomial approximating 1/t on
+    [lo, hi] against the D^-1 A operator (pyamg-style interval)."""
+    lo, hi, degree = params[0], params[1], int(params[2])
+    theta = 0.5 * (hi + lo)
+    delta = 0.5 * (hi - lo)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    x = (1.0 / theta) * (dinv * r)
+    d = x.copy()
+    for _ in range(degree - 1):
+        res = r - A @ x
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * (dinv * res)
+        x = x + d
+        rho = rho_new
+    return x
+
+
+class SmoothedAggregationAMG:
+    """AMG hierarchy usable as a scipy LinearOperator preconditioner."""
+
+    def __init__(self, A: sp.csr_matrix, coords_dofwise: np.ndarray,
+                 block: int = 3, coarse_size: int = 3000,
+                 max_levels: int = 12, cheb_degree: int = 3,
+                 omega: float = 4.0 / 3.0):
+        """``coords_dofwise``: (ndof//block, 3) node coordinates (for the
+        rigid-body near-nullspace)."""
+        A = A.tocsr()
+        B = rigid_body_modes(coords_dofwise)
+        self.levels: list[_Level] = []
+        cur_block = block
+        while A.shape[0] > coarse_size and len(self.levels) < max_levels - 1:
+            lvl = _Level()
+            lvl.A = A
+            d = A.diagonal().copy()
+            d[d <= 0] = 1.0
+            lvl.dinv = 1.0 / d
+            lvl.rho = _spectral_radius(A, lvl.dinv)
+            lvl.cheb_coeffs = _chebyshev_coeffs(lvl.rho / 30.0, 1.1 * lvl.rho,
+                                                cheb_degree)
+            graph = _node_graph(A, cur_block)
+            agg = _aggregate(graph)
+            T, Bc = _tentative_prolongation(agg, B, cur_block)
+            # smooth: P = (I - omega/rho D^-1 A) T
+            DinvA = sp.diags(lvl.dinv) @ A
+            P = (T - (omega / lvl.rho) * (DinvA @ T)).tocsr()
+            lvl.P = P
+            self.levels.append(lvl)
+            A = (P.T @ (lvl.A @ P)).tocsr()
+            A.sum_duplicates()
+            B = Bc
+            # coarse levels have irregular block sizes — treat each coarse
+            # dof as its own node from here on
+            cur_block = 1
+            coords_dofwise = None  # unused below the finest level
+            if P.shape[1] >= P.shape[0]:   # no coarsening progress
+                break
+        self.coarse_A = A.tocsc()
+        try:
+            self.coarse_solve = splu(self.coarse_A).solve
+        except RuntimeError:
+            # singular coarse grid (pathological inputs): pinned Jacobi
+            d = self.coarse_A.diagonal().copy()
+            d[d <= 0] = 1.0
+            self.coarse_solve = lambda r, d=d: r / d
+        logger.debug("AMG: %d levels, sizes %s",
+                     len(self.levels) + 1,
+                     [l.A.shape[0] for l in self.levels] + [A.shape[0]])
+
+    def _vcycle(self, lvl_idx: int, r: np.ndarray) -> np.ndarray:
+        if lvl_idx == len(self.levels):
+            return self.coarse_solve(r)
+        lvl = self.levels[lvl_idx]
+        x = _chebyshev_apply(lvl.A, lvl.dinv, lvl.cheb_coeffs, r)
+        res = r - lvl.A @ x
+        xc = self._vcycle(lvl_idx + 1, lvl.P.T @ res)
+        x = x + lvl.P @ xc
+        res = r - lvl.A @ x
+        x = x + _chebyshev_apply(lvl.A, lvl.dinv, lvl.cheb_coeffs, res)
+        return x
+
+    def matvec(self, r: np.ndarray) -> np.ndarray:
+        return self._vcycle(0, r)
+
+    def as_preconditioner(self) -> LinearOperator:
+        n = self.levels[0].A.shape[0] if self.levels else self.coarse_A.shape[0]
+        return LinearOperator((n, n), matvec=self.matvec)

@@ -54,10 +54,14 @@ class struct_optimization:
     """ref opti.py:49-282."""
 
     def __init__(self, optimization_folder, experiment_location=None,
-                 fem_method: str = "scipy"):
+                 fem_method: str = "scipy", resume: bool = False):
         self.optimization_folder = pathlib.Path(optimization_folder)
         self.optimization_results = OptimizationResults([], [], [])
         self.iteration = 0
+        self.resume = resume
+        if resume and (self.optimization_folder / "results.json").exists():
+            self.optimization_results = load_results(self.optimization_folder)
+            self.iteration = len(self.optimization_results.compliance)
         self.fem_method = fem_method
         if not self.settings_filename.exists():
             raise FileNotFoundError(f"No config.json in {self.optimization_folder}")
@@ -247,7 +251,8 @@ class struct_optimization:
         self.logger.info("Starting optimization in %s on %s",
                          self.optimization_folder, socket.gethostname())
         self.set_x0()
-        self.move_older_sims_to_temp_dir()
+        if not self.resume:
+            self.move_older_sims_to_temp_dir()
         method = self.options["optimization"]["method"]
         if method in ("BFGS", "COBYLA"):
             result = self.run_scipy_optimization(self.options["optimization"])
@@ -271,8 +276,41 @@ class struct_optimization:
             options=opts)
 
     def run_MMA_optimization(self, options):
+        """MMA with crash-safe resume: every accepted design update
+        snapshots the full optimizer state (asymptotes included) to
+        ``mma_state.npz``; a ``resume=True`` driver reloads it and the
+        appended ``results.json`` so a restarted process continues the
+        SAME trajectory (ref runs its 304-iteration flagship in one
+        process — we survive restarts instead)."""
+        state_path = self.optimization_folder / "mma_state.npz"
+        state = None
+        if self.resume and state_path.exists():
+            with np.load(state_path) as z:
+                state = {k: z[k] for k in z.files}
+        elif self.resume and self.optimization_results.design_vector:
+            # soft resume from results.json only (runs started before
+            # state snapshots existed): design history restores x/xold,
+            # asymptotes re-initialize; the last design is re-evaluated
+            # once (cache is empty), duplicating one results entry
+            dv = [np.asarray(v) for v in self.optimization_results.design_vector]
+            k = len(dv)
+            state = {"loop": k - 1, "x": dv[-1],
+                     "xold1": dv[-2] if k >= 2 else dv[-1],
+                     "xold2": dv[-3] if k >= 3 else dv[-1],
+                     "C0": self.optimization_results.compliance[0]}
+            self.iteration = k - 1
+            self.logger.warning(
+                "Soft-resuming from results.json (%d iterations, no "
+                "mma_state.npz): asymptote history re-initializes", k)
+
+        def snapshot(s):
+            tmp = state_path.with_suffix(".npz.tmp")
+            np.savez(tmp, **s)
+            os.replace(tmp, state_path)
+
         return MMA().minimize(self.start_values, self.objective, self.constraint,
-                              self.bounds, options)
+                              self.bounds, options, state=state,
+                              on_iteration=snapshot)
 
 
 def configure_logging(optimization_folder, debug: bool = False):

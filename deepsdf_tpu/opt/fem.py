@@ -218,6 +218,16 @@ def _grad_shape_np(verts, tets):
 
 def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
                  x0=None):
+    """Host float64 solve: smoothed-aggregation AMG-preconditioned CG.
+
+    The reference converges with CG+GSSmoother on its MFEM matrix (ref
+    :317-326); on the stuffed lattice meshes one-level smoothing stalls
+    (round-2 flagship logs: Jacobi-CG residual 1e-1..1e-2 after 10k
+    iterations), so the host path uses an SA-AMG V-cycle preconditioner
+    (opt/amg.py) — typ. <100 CG iterations to 1e-10 at flagship scale.
+    The system is restricted to REFERENCED free dofs first: stuffed
+    meshes carry grid vertices referenced by no tet (zero rows) which
+    both waste work and break factorization-based coarse solves."""
     from scipy.sparse import coo_matrix
     from scipy.sparse.linalg import cg
 
@@ -235,23 +245,40 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
     cols = np.broadcast_to(cols, K.shape).ravel()
     A = coo_matrix((K.ravel(), (rows, cols)), shape=(3 * V, 3 * V)).tocsr()
 
-    fixed = np.repeat(ess_mask, 3)
-    free = ~fixed
-    b = force.ravel()[free]
-    Aff = A[free][:, free]
+    referenced = np.zeros(V, bool)
+    referenced[np.asarray(tets).reshape(-1)] = True
+    keep_v = referenced & ~ess_mask
+    keep = np.repeat(keep_v, 3)
+    b = force.ravel()[keep]
+    Aff = A[keep][:, keep]
 
-    # Jacobi-preconditioned CG, mirroring ref CG+smoother (:317-326)
     from scipy.sparse.linalg import LinearOperator
-    d = Aff.diagonal()
-    d[d == 0] = 1.0
-    Minv = LinearOperator(Aff.shape, matvec=lambda r: r / d)
-    x0f = None if x0 is None else np.asarray(x0, np.float64).ravel()[free]
-    x, info = cg(Aff, b, rtol=rel_tol, maxiter=max_iter, M=Minv, x0=x0f)
+    from .amg import SmoothedAggregationAMG
+    import time as _time
+    t0 = _time.time()
+    try:
+        Minv = SmoothedAggregationAMG(Aff.tocsr(), verts[keep_v]).as_preconditioner()
+        label = "SA-AMG"
+    except Exception:
+        logger.exception("AMG setup failed; falling back to Jacobi")
+        d = Aff.diagonal()
+        d[d == 0] = 1.0
+        Minv = LinearOperator(Aff.shape, matvec=lambda r: r / d)
+        label = "Jacobi"
+    t_setup = _time.time() - t0
+    x0f = None if x0 is None else np.asarray(x0, np.float64).ravel()[keep]
+    n_it = [0]
+    t0 = _time.time()
+    x, info = cg(Aff, b, rtol=rel_tol, maxiter=max_iter, M=Minv, x0=x0f,
+                 callback=lambda xk: n_it.__setitem__(0, n_it[0] + 1))
+    relres = np.linalg.norm(Aff @ x - b) / max(np.linalg.norm(b), 1e-300)
     if info != 0:
         logger.warning("CG did not fully converge (info=%s); residual %.3e",
-                       info, np.linalg.norm(Aff @ x - b) / max(np.linalg.norm(b), 1e-300))
+                       info, relres)
+    logger.info("%s-CG: %d iters, relres %.2e (setup %.1fs, solve %.1fs)",
+                label, n_it[0], relres, t_setup, _time.time() - t0)
     u = np.zeros(3 * V)
-    u[free] = x
+    u[keep] = x
     return u.reshape(V, 3)
 
 
@@ -338,9 +365,12 @@ def _solve_jax_refined(verts, tets, lam, mu, force, ess_mask,
         # unit-normalize the rhs: late-round residuals are tiny and
         # would underflow f32 norms inside the device CG (CG is linear)
         r_pad[:V] = r / rnorm
+        # solve_elasticity runs chunked CG: one 3-float status read per
+        # 100-iteration chunk (the unbounded single-program form killed
+        # the TPU worker at flagship scale), plus this final device_get
         d, it = jax.device_get(solve_elasticity(
             vj, tj, lam, mu, jnp.asarray(r_pad, jnp.float32), mj,
-            inner_tol, max_iter, perm_j))  # ONE host<->device sync per round
+            inner_tol, max_iter, perm_j))
         logger.debug("refinement round %d: relres %.3e, %d CG iterations",
                      round_, relres, int(it))
         x = x + rnorm * np.asarray(d, np.float64)[:V]

@@ -270,7 +270,13 @@ class MMA:
     def __init__(self):
         self.logger = logging.getLogger(__name__)
 
-    def minimize(self, x0, objective, constraint, bounds, options):
+    def minimize(self, x0, objective, constraint, bounds, options,
+                 state=None, on_iteration=None):
+        """``state``: dict from a previous run's ``on_iteration`` callback
+        (loop/x/xold1/xold2/low/upp/C0) — continues the loop exactly
+        where it stopped, preserving the moving-asymptote history.
+        ``on_iteration(state_dict)``: called after every accepted design
+        update so the caller can persist a resume snapshot."""
         bounds = np.array(bounds)
         x0 = np.asarray(x0, dtype=np.float64).reshape(-1, 1)
         m = 1
@@ -287,11 +293,24 @@ class MMA:
 
         loop = 0
         C0 = None
+        if state is not None:
+            loop = int(state["loop"])
+            x = np.asarray(state["x"], np.float64).reshape(-1, 1)
+            xold1 = np.asarray(state["xold1"], np.float64).reshape(-1, 1)
+            xold2 = np.asarray(state["xold2"], np.float64).reshape(-1, 1)
+            # soft resume (state rebuilt from results.json, no snapshot):
+            # low/upp absent -> the first resumed mmasub re-initializes
+            # the asymptotes (identical to the iter<=2 branch)
+            if "low" in state and np.size(state["low"]):
+                low = np.asarray(state["low"], np.float64).reshape(-1, 1)
+                upp = np.asarray(state["upp"], np.float64).reshape(-1, 1)
+            C0 = float(state["C0"])
+            self.logger.info("Resuming MMA from iteration %d", loop)
         while True:
             loop += 1
             C, dC = objective(x)
             Vol, dVol = constraint(x)
-            if loop == 1:
+            if C0 is None:
                 C0 = C
             f0val = C / C0
             df0dx = np.asarray(dC).reshape(-1, 1) / C0
@@ -302,7 +321,8 @@ class MMA:
             xmax = np.minimum(x + 0.1, bounds[:, 1].reshape(-1, 1))
 
             xmma, *_, low, upp = mmasub(
-                m, n, loop, x, xmin, xmax, xold1, xold2, f0val, df0dx, fval, dfdx,
+                m, n, loop if np.size(low) or loop <= 2 else 2,
+                x, xmin, xmax, xold1, xold2, f0val, df0dx, fval, dfdx,
                 low, upp, a0_MMA, a_MMA, c_MMA, d_MMA)
 
             xold2 = xold1.copy()
@@ -310,6 +330,10 @@ class MMA:
             x = xmma
             ch = np.abs(np.mean(x.T - xold1.T) / np.mean(x.T))
 
+            if on_iteration is not None:
+                on_iteration({"loop": loop, "x": x, "xold1": xold1,
+                              "xold2": xold2, "low": low, "upp": upp,
+                              "C0": C0})
             self.logger.info(
                 "It.: %4d | Obj.: %1.3e | Constr.:  %1.3e | ch.: %1.3e | C: %1.3e",
                 loop, float(f0val), float(fval[0][0]), float(ch), float(C))

@@ -44,12 +44,21 @@ def _multi_host_env() -> bool:
         return True
     if "," in env.get("TPU_WORKER_HOSTNAMES", ""):
         return True
-    for key in ("SLURM_NTASKS", "MEGASCALE_NUM_SLICES", "JAX_NUM_PROCESSES"):
+    for key in ("MEGASCALE_NUM_SLICES", "JAX_NUM_PROCESSES"):
         try:
             if int(env.get(key, "1")) > 1:
                 return True
         except ValueError:
             pass
+    # bare SLURM_NTASKS>1 is NOT sufficient: an srun of independent
+    # CPU tasks would make the argless jax.distributed.initialize()
+    # hang with no coordinator. Require the explicit opt-in.
+    try:
+        if (int(env.get("SLURM_NTASKS", "1")) > 1
+                and env.get("DEEPSDF_TPU_SLURM_DISTRIBUTED", "") == "1"):
+            return True
+    except ValueError:
+        pass
     return False
 
 

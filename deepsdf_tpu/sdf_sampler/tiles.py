@@ -243,7 +243,7 @@ class DoubleLatticeExtruded:
             [[a02, a09], [a05, a06], [a02, a10], [a06, a06]],
             [[a02, a10], [a06, a06], [a03, a10], [a06, a07]],
             [[a02, a02], [a06, a06], [a02, a03], [a05, a06]],
-            [[a02, a02], [a06, a06], [a03, a02], [a06, a05]],
+            [[a02, a02], [a03, a02], [a06, a06], [a06, a05]],
             [[a09, a02], [a10, a02], [a06, a05], [a06, a06]],
             [[a06, a06], [a10, a02], [a07, a06], [a10, a03]],
             [[a06, a06], [a07, a06], [a10, a10], [a10, a09]],

@@ -64,8 +64,12 @@ def gen_round_cross(sampler, n_samples, surface_samples=False, extended=False):
     references (ref data/splits/snappy_and_cylinders.json). The
     reference script generating those 40 is absent from the snapshot
     (04_simple_geom_creation.py postdates it with 20), so the extra
-    radii are the midpoints of the committed sweep — round_cross_only
-    ids 10000–10019 keep the exact committed-script radii either way.
+    radii are the odd points of a 41-point refinement of [0.1, 0.75]
+    (i.e. midpoints of a 21-point grid — a DIFFERENT lattice than the
+    committed 20-radius sweep; chosen to interleave the sweep range
+    evenly). Split ids 10020–10039 bake these radii into committed
+    data — do not change them. round_cross_only ids 10000–10019 keep
+    the exact committed-script radii either way.
     """
     radii = list(np.linspace(0.1, 0.75, 20))
     if extended:

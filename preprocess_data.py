@@ -116,7 +116,10 @@ def main() -> int:
             failures += msg.startswith("FAIL")
     print(f"done: {len(jobs) - failures}/{len(jobs)} processed, "
           f"{missing} meshes missing, {failures} failures")
-    return 1 if failures else 0
+    # missing source meshes are an error too (strict, like
+    # get_instance_filenames): a split resolving zero meshes must not
+    # let a pipeline proceed silently on a partial dataset
+    return 1 if (failures or missing) else 0
 
 
 if __name__ == "__main__":

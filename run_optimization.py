@@ -22,10 +22,14 @@ if __name__ == "__main__":
                         help="force the CPU jax backend for the decoder "
                              "grid evals (keeps the run independent of the "
                              "TPU tunnel; pair with --fem scipy)")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from mma_state.npz + results.json "
+                             "(same trajectory, asymptote history intact)")
     args = parser.parse_args()
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
     configure_logging(args.optimization_folder, debug=args.debug)
-    opt = struct_optimization(args.optimization_folder, fem_method=args.fem)
+    opt = struct_optimization(args.optimization_folder, fem_method=args.fem,
+                              resume=args.resume)
     opt.run_optimization()
