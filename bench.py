@@ -122,13 +122,15 @@ def _bench_grid_eval() -> dict:
         eval_sdf_grid, eval_sdf_grid_sparse, grid_coords,
     )
 
+    fixture_err = None
     try:
         from deepsdf_tpu.workspace import load_latent_vectors, load_trained_model
         config, params = load_trained_model("experiments/double_lattice_3D", "latest")
         latent = jnp.asarray(load_latent_vectors("experiments/double_lattice_3D",
                                                  "latest")[0][0])
         trained = True
-    except Exception:
+    except Exception as e:
+        fixture_err = f"{type(e).__name__}: {e}"[:120]
         from deepsdf_tpu.networks.decoder import DecoderConfig, init_decoder_params
         config = DecoderConfig(
             latent_size=2, dims=(512,) * 8, geom_dimension=3,
@@ -172,6 +174,11 @@ def _bench_grid_eval() -> dict:
             out["grid_sparse_256_speedup"] = round(
                 out["grid_dense_256_s"] / out["grid_sparse_256_s"], 2)
             out["grid_sparse_256_active_frac"] = round(info["active_frac"], 3)
+    else:
+        # never silently degrade: a missing trained fixture means the
+        # sparse metrics are absent AND the dense numbers used a
+        # random-init decoder — record that loudly
+        out["fixture_missing"] = fixture_err or "unknown"
     return out
 
 

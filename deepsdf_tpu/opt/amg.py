@@ -63,9 +63,11 @@ def _node_graph(A: sp.csr_matrix, block: int) -> sp.csr_matrix:
     return g
 
 
-def _aggregate(graph: sp.csr_matrix) -> np.ndarray:
+def _aggregate(graph: sp.csr_matrix, max_agg: int = 0) -> np.ndarray:
     """Greedy aggregation; returns (n,) aggregate id per node (-1 never
-    remains: isolated nodes become their own aggregate)."""
+    remains: isolated nodes become their own aggregate). ``max_agg``
+    caps the aggregate size (0 = uncapped star aggregates); smaller
+    aggregates interpolate better at the cost of a larger coarse grid."""
     n = graph.shape[0]
     agg = np.full(n, -1, np.int64)
     indptr, indices = graph.indptr, graph.indices
@@ -76,6 +78,8 @@ def _aggregate(graph: sp.csr_matrix) -> np.ndarray:
             continue
         nbrs = indices[indptr[i]:indptr[i + 1]]
         if len(nbrs) and np.all(agg[nbrs] == -1):
+            if max_agg and len(nbrs) > max_agg - 1:
+                nbrs = nbrs[:max_agg - 1]
             agg[i] = next_agg
             agg[nbrs] = next_agg
             next_agg += 1
@@ -182,16 +186,50 @@ def _chebyshev_apply(A, dinv, params, r):
 
 
 class SmoothedAggregationAMG:
-    """AMG hierarchy usable as a scipy LinearOperator preconditioner."""
+    """AMG hierarchy usable as a scipy LinearOperator preconditioner.
+
+    ``adapt`` > 0 enables adaptive SA (Brezina et al., alpha-SA): after
+    building the rigid-body-mode hierarchy, ``adapt`` near-kernel
+    candidates are extracted by relaxing x <- (I - M^-1 A) x on random
+    vectors and the hierarchy is rebuilt with the augmented
+    near-nullspace. The trimmed-lattice meshes need this: MMA thins
+    struts until they carry localized floppy modes (measured
+    eigenvalues ~1e-5 vs O(1) diagonal, participation ratio <0.14)
+    that rigid-body coarse spaces cannot represent — plain SA-CG tails
+    off at ~0.98/iter while adaptive SA-CG converges properly."""
 
     def __init__(self, A: sp.csr_matrix, coords_dofwise: np.ndarray,
                  block: int = 3, coarse_size: int = 3000,
                  max_levels: int = 12, cheb_degree: int = 3,
-                 omega: float = 4.0 / 3.0):
+                 omega: float = 4.0 / 3.0, max_agg: int = 0,
+                 adapt: int = 0, adapt_iters: int = 12, seed: int = 0):
         """``coords_dofwise``: (ndof//block, 3) node coordinates (for the
         rigid-body near-nullspace)."""
         A = A.tocsr()
         B = rigid_body_modes(coords_dofwise)
+        if adapt:
+            self._build(A, B, block, coarse_size, max_levels, cheb_degree,
+                        omega, max_agg)
+            X = self._near_kernel_candidates(A, adapt, adapt_iters, seed)
+            # augment + rebuild: per-aggregate SVD absorbs the extra
+            # columns (rank-trimmed, so redundant candidates are free)
+            B = np.concatenate([B, X], axis=1)
+        self._build(A, B, block, coarse_size, max_levels, cheb_degree,
+                    omega, max_agg)
+
+    def _near_kernel_candidates(self, A, k: int, iters: int, seed: int):
+        """Relax A x = 0 from random starts: what survives M^-1-damped
+        relaxation IS the near-kernel the current hierarchy misses."""
+        rng = np.random.default_rng(seed)
+        X = rng.standard_normal((A.shape[0], k))
+        for _ in range(iters):
+            X = X - np.column_stack([self.matvec(A @ X[:, j])
+                                     for j in range(k)])
+            X /= np.linalg.norm(X, axis=0, keepdims=True) + 1e-300
+        return X
+
+    def _build(self, A, B, block, coarse_size, max_levels, cheb_degree,
+               omega, max_agg):
         self.levels: list[_Level] = []
         cur_block = block
         while A.shape[0] > coarse_size and len(self.levels) < max_levels - 1:
@@ -204,11 +242,14 @@ class SmoothedAggregationAMG:
             lvl.cheb_coeffs = _chebyshev_coeffs(lvl.rho / 30.0, 1.1 * lvl.rho,
                                                 cheb_degree)
             graph = _node_graph(A, cur_block)
-            agg = _aggregate(graph)
+            agg = _aggregate(graph, max_agg=max_agg)
             T, Bc = _tentative_prolongation(agg, B, cur_block)
-            # smooth: P = (I - omega/rho D^-1 A) T
-            DinvA = sp.diags(lvl.dinv) @ A
-            P = (T - (omega / lvl.rho) * (DinvA @ T)).tocsr()
+            if omega:
+                # smooth: P = (I - omega/rho D^-1 A) T
+                DinvA = sp.diags(lvl.dinv) @ A
+                P = (T - (omega / lvl.rho) * (DinvA @ T)).tocsr()
+            else:
+                P = T.tocsr()
             lvl.P = P
             self.levels.append(lvl)
             A = (P.T @ (lvl.A @ P)).tocsr()
@@ -217,7 +258,6 @@ class SmoothedAggregationAMG:
             # coarse levels have irregular block sizes — treat each coarse
             # dof as its own node from here on
             cur_block = 1
-            coords_dofwise = None  # unused below the finest level
             if P.shape[1] >= P.shape[0]:   # no coarsening progress
                 break
         self.coarse_A = A.tocsc()
@@ -245,8 +285,68 @@ class SmoothedAggregationAMG:
         return x
 
     def matvec(self, r: np.ndarray) -> np.ndarray:
-        return self._vcycle(0, r)
+        r = np.asarray(r)
+        shape = r.shape
+        return self._vcycle(0, r.reshape(-1)).reshape(shape)
 
     def as_preconditioner(self) -> LinearOperator:
         n = self.levels[0].A.shape[0] if self.levels else self.coarse_A.shape[0]
+        return LinearOperator((n, n), matvec=self.matvec)
+
+
+class DeflatedAMG:
+    """SA-AMG V-cycle + additive spectral correction.
+
+    The trimmed-lattice meshes carry a handful of LOCALIZED floppy
+    modes (thin struts thinned toward mechanisms by the optimizer;
+    measured lambda_min ~1e-5 vs O(1) diagonal, participation <0.14).
+    Aggregate rigid-body coarse spaces cannot represent them, so plain
+    SA-AMG-CG tails off at ~0.98/iter. Those same modes are exactly
+    what survives V-cycle-preconditioned relaxation, so: extract k
+    candidates by x <- (I - M^-1 A) x, Rayleigh-Ritz them to
+    near-eigenvectors W, and precondition with
+
+        M_aug^-1 = M^-1 + W (W^T A W)^-1 W^T
+
+    (SPD: sum of an SPD operator and a PSD projection solve), which
+    lifts the deflated eigenvalues to ~1 and restores normal AMG-CG
+    convergence. One hierarchy + candidates per mesh; the outer driver
+    re-solves the same mesh only once per design iteration."""
+
+    def __init__(self, A: sp.csr_matrix, coords_dofwise: np.ndarray,
+                 n_modes: int = 8, relax_iters: int = 15, seed: int = 0,
+                 **amg_kwargs):
+        A = A.tocsr()
+        self.A = A
+        self.amg = SmoothedAggregationAMG(A, coords_dofwise, **amg_kwargs)
+        rng = np.random.default_rng(seed)
+        X = rng.standard_normal((A.shape[0], n_modes))
+        for _ in range(relax_iters):
+            X -= np.column_stack([self.amg.matvec(A @ X[:, j])
+                                  for j in range(X.shape[1])])
+            X /= np.linalg.norm(X, axis=0, keepdims=True) + 1e-300
+        # Rayleigh-Ritz on span(X): W ~ slow eigenvectors of M^-1 A
+        Q, _ = np.linalg.qr(X)
+        H = Q.T @ (A @ Q)
+        H = 0.5 * (H + H.T)
+        theta, S = np.linalg.eigh(H)
+        self.W = Q @ S
+        self.AW = A @ self.W
+        G = self.W.T @ self.AW
+        G = 0.5 * (G + G.T)
+        # tiny k x k system; pinv guards exactly-converged duplicates
+        self.Ginv = np.linalg.pinv(G, rcond=1e-12)
+        self.ritz_values = theta
+        logger.debug("DeflatedAMG: ritz values %s", theta)
+
+    def matvec(self, r: np.ndarray) -> np.ndarray:
+        r = np.asarray(r)
+        shape = r.shape
+        rf = r.reshape(-1)
+        x = self.amg._vcycle(0, rf)
+        x = x + self.W @ (self.Ginv @ (self.W.T @ rf))
+        return x.reshape(shape)
+
+    def as_preconditioner(self) -> LinearOperator:
+        n = self.A.shape[0]
         return LinearOperator((n, n), matvec=self.matvec)

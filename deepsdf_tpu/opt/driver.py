@@ -95,7 +95,7 @@ class struct_optimization:
         self._warm = (keys[order], np.asarray(u)[order])
 
     def _warm_start_field(self):
-        if self._warm is None or self.fem_method != "jax":
+        if self._warm is None:
             return None
         pkeys, pu = self._warm
         keys = self._mesh_keys()
@@ -304,7 +304,8 @@ class struct_optimization:
                 "mma_state.npz): asymptote history re-initializes", k)
 
         def snapshot(s):
-            tmp = state_path.with_suffix(".npz.tmp")
+            # NB: np.savez appends ".npz" to names without it
+            tmp = state_path.with_name("mma_state.tmp.npz")
             np.savez(tmp, **s)
             os.replace(tmp, state_path)
 

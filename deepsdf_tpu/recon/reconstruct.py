@@ -80,11 +80,28 @@ def reconstruct_latent(config: DecoderConfig, params, sdf_data: jax.Array,
 
 
 def reconstruct_batch(config: DecoderConfig, params, sdf_batch: np.ndarray,
-                      seed: int = 0, rcfg: ReconstructConfig = ReconstructConfig()):
-    """Reconstruct latents for a (S, N, geom+1) stack of shapes in one
-    vmapped device program. Returns (latents (S, L), losses (S,))."""
-    keys = jax.random.split(jax.random.PRNGKey(seed), sdf_batch.shape[0])
-    lat, loss = jax.vmap(
-        lambda d, k: reconstruct_latent(config, params, d, k, rcfg)
-    )(jnp.asarray(sdf_batch), keys)
-    return np.asarray(lat), np.asarray(loss)
+                      seed: int = 0, rcfg: ReconstructConfig = ReconstructConfig(),
+                      shape_chunk: int = 64):
+    """Reconstruct latents for a (S, N, geom+1) stack of shapes as
+    vmapped device programs of at most ``shape_chunk`` shapes each.
+    Chunking bounds HBM: the 400-shape double_lattice split vmapped
+    whole needs ~38 GB (>16 GB v5e HBM, observed compile OOM); equal
+    chunks reuse one compiled program (last chunk pads by repetition).
+    Per-shape PRNG keys are split once over the FULL stack, so results
+    are bit-identical for any chunk size. Returns ((S, L), (S,))."""
+    S = sdf_batch.shape[0]
+    all_keys = jax.random.split(jax.random.PRNGKey(seed), S)
+    solve = jax.vmap(
+        lambda d, k: reconstruct_latent(config, params, d, k, rcfg))
+    lats, losses = [], []
+    for lo in range(0, S, shape_chunk):
+        hi = min(lo + shape_chunk, S)
+        idx = np.arange(lo, hi)
+        if hi - lo < shape_chunk and S > shape_chunk:
+            # pad to the compiled chunk shape; padded lanes recompute
+            # real shapes and are dropped below
+            idx = np.concatenate([idx, np.arange(shape_chunk - (hi - lo))])
+        lat, loss = solve(jnp.asarray(sdf_batch[idx]), all_keys[idx])
+        lats.append(np.asarray(lat)[:hi - lo])
+        losses.append(np.asarray(loss)[:hi - lo])
+    return np.concatenate(lats), np.concatenate(losses)

@@ -120,6 +120,77 @@ def test_struct_optimization_runs(experiment_dir, tmp_path):
     assert any(f.endswith(".ply") for f in files)
 
 
+def test_mma_resume_continues_trajectory(experiment_dir, tmp_path):
+    """Hard resume (mma_state.npz) and soft resume (results.json only)
+    both continue the run: iterations append, designs stay finite, and
+    hard resume preserves the asymptote history."""
+    from deepsdf_tpu.opt.driver import struct_optimization
+
+    exp, latents = experiment_dir
+    opt_dir = tmp_path / "opti_resume"
+    os.makedirs(opt_dir)
+    config = {
+        "mesh": {
+            "N_base_reconstruction": 10,
+            "tiling": [2, 1, 1],
+            "degrees": [1, 1, 1],
+            "refinement": [],
+            "experiment_directory": exp,
+            "checkpoint": "500",
+            "remove_orphans": True,
+            "cap_border_dict": {
+                "x0": {"cap": 1, "measure": 0.35},
+                "x1": {"cap": -1, "measure": 0.05},
+                "y0": {"cap": -1, "measure": 0.1},
+                "y1": {"cap": -1, "measure": 0.1},
+                "z0": {"cap": -1, "measure": 0.1},
+                "z1": {"cap": 1, "measure": 0.1},
+            },
+        },
+        "optimization": {"method": "MMA", "deltaIt": 1e-10, "maxIt": 2,
+                         "x0": latents[1].tolist()},
+        "general": {"temp_dir": str(tmp_path / "simtmp_r"),
+                    "volume_constraint": 0.5, "save_every": 10},
+    }
+    with open(opt_dir / "config.json", "w") as f:
+        json.dump(config, f)
+
+    struct_optimization(str(opt_dir)).run_optimization()
+    with open(opt_dir / "results.json") as f:
+        r1 = json.load(f)
+    assert len(r1["compliance"]) == 2
+    assert (opt_dir / "mma_state.npz").exists()
+    state1 = dict(np.load(opt_dir / "mma_state.npz"))
+    assert int(state1["loop"]) == 2 and np.size(state1["low"])
+
+    # hard resume: continue to maxIt=4 → exactly 2 more evaluations
+    config["optimization"]["maxIt"] = 4
+    with open(opt_dir / "config.json", "w") as f:
+        json.dump(config, f)
+    opt = struct_optimization(str(opt_dir), resume=True)
+    opt.run_optimization()
+    with open(opt_dir / "results.json") as f:
+        r2 = json.load(f)
+    assert len(r2["compliance"]) == 4
+    assert r2["compliance"][:2] == r1["compliance"][:2]  # history kept
+    assert np.isfinite(r2["compliance"]).all()
+
+    # soft resume: drop the state file, results.json alone drives it;
+    # the last design is re-evaluated once (duplicate entry), then new
+    # iterations continue
+    os.remove(opt_dir / "mma_state.npz")
+    config["optimization"]["maxIt"] = 5
+    with open(opt_dir / "config.json", "w") as f:
+        json.dump(config, f)
+    opt = struct_optimization(str(opt_dir), resume=True)
+    opt.run_optimization()
+    with open(opt_dir / "results.json") as f:
+        r3 = json.load(f)
+    assert len(r3["compliance"]) >= 5
+    assert np.allclose(r3["design_vector"][4], r2["design_vector"][3])
+    assert np.isfinite(r3["compliance"]).all()
+
+
 def test_missing_config_raises(tmp_path):
     from deepsdf_tpu.opt.driver import struct_optimization
 
