@@ -270,31 +270,42 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
         return np.linalg.norm(Aff @ x - b) / bnorm
 
     x = None
+    best = None  # (relres, x) across attempts
     # accept well below the request but far above float64 noise: at
     # 1e-6 the compliance error (energy-norm-squared) is negligible
     accept_tol = max(rel_tol * 1e3, 1e-6)
-    t0 = _time.time()
-    try:
-        ilu = spilu(Aff.tocsc(), drop_tol=1e-4, fill_factor=12,
-                    permc_spec="MMD_AT_PLUS_A",
-                    options=dict(SymmetricMode=True))
-        Minv = LinearOperator(Aff.shape, matvec=ilu.solve)
-        t_setup = _time.time() - t0
-        n_it = [0]
+    # BiCGStab costs 2 matvecs + 2 precond applies per iteration; a
+    # converged ILU solve needs O(10^2) iterations, so a 10^4 budget
+    # would just burn ~30 min before falling back. Bound it.
+    bicg_iter = min(max_iter, 1500)
+    # escalating factor strength: thinner struts (late optimizer
+    # iterations) occasionally defeat the cheap factor
+    for drop, ff in ((1e-4, 12), (3e-6, 30)):
         t0 = _time.time()
-        cand, info = bicgstab(Aff, b, rtol=rel_tol, maxiter=max_iter,
-                              M=Minv, x0=x0f,
-                              callback=lambda xk: n_it.__setitem__(0, n_it[0] + 1))
-        rr = _relres(cand)
-        logger.info("ILU-BiCGStab: %d iters, relres %.2e (setup %.1fs, "
-                    "solve %.1fs)", n_it[0], rr, t_setup, _time.time() - t0)
-        if rr <= accept_tol:
-            x = cand
-        else:
-            logger.warning("ILU-BiCGStab stalled at relres %.2e "
-                           "(info=%s); falling back to AMG-CG", rr, info)
-    except Exception:
-        logger.exception("ILU setup/solve failed; falling back to AMG-CG")
+        try:
+            ilu = spilu(Aff.tocsc(), drop_tol=drop, fill_factor=ff,
+                        permc_spec="MMD_AT_PLUS_A",
+                        options=dict(SymmetricMode=True))
+            Minv = LinearOperator(Aff.shape, matvec=ilu.solve)
+            t_setup = _time.time() - t0
+            n_it = [0]
+            t0 = _time.time()
+            cand, info = bicgstab(Aff, b, rtol=rel_tol, maxiter=bicg_iter,
+                                  M=Minv, x0=x0f,
+                                  callback=lambda xk: n_it.__setitem__(0, n_it[0] + 1))
+            rr = _relres(cand)
+            logger.info("ILU(%g,%g)-BiCGStab: %d iters, relres %.2e "
+                        "(setup %.1fs, solve %.1fs)", drop, ff, n_it[0], rr,
+                        t_setup, _time.time() - t0)
+            if best is None or rr < best[0]:
+                best = (rr, cand)
+            if rr <= accept_tol:
+                x = cand
+                break
+            logger.warning("ILU(%g)-BiCGStab stalled at relres %.2e "
+                           "(info=%s)", drop, rr, info)
+        except Exception:
+            logger.exception("ILU(%g) setup/solve failed", drop)
 
     if x is None:
         from .amg import SmoothedAggregationAMG
@@ -303,7 +314,9 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
         t_setup = _time.time() - t0
         n_it = [0]
         t0 = _time.time()
-        x, info = cg(Aff, b, rtol=rel_tol, maxiter=max_iter, M=Minv, x0=x0f,
+        x0_amg = best[1] if best is not None else x0f
+        x, info = cg(Aff, b, rtol=rel_tol, maxiter=min(max_iter, 2000),
+                     M=Minv, x0=x0_amg,
                      callback=lambda xk: n_it.__setitem__(0, n_it[0] + 1))
         rr = _relres(x)
         if rr > accept_tol:
@@ -311,6 +324,9 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
                            "residual %.3e", info, rr)
         logger.info("SA-AMG-CG: %d iters, relres %.2e (setup %.1fs, "
                     "solve %.1fs)", n_it[0], rr, t_setup, _time.time() - t0)
+        if best is not None and best[0] < rr:
+            x = best[1]
+            logger.info("keeping best ILU iterate (relres %.2e)", best[0])
     u = np.zeros(3 * V)
     u[keep] = x
     return u.reshape(V, 3)

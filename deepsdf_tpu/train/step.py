@@ -51,6 +51,13 @@ class TrainConfig:
     grad_clip: float | None = None
     batch_split: int = 1
     fused: bool = False   # use the Pallas fused MLP kernel (ops/fused_mlp.py)
+    # Mesh for running the fused kernel under shard_map (manual SPMD):
+    # the pallas_call then executes per-device on its local batch rows,
+    # sidestepping the GSPMD partitioner (which cannot partition
+    # interpret-mode pallas, and needs no custom partitioning rules on
+    # hardware either). None = single-device dispatch. Hashable, so it
+    # can live in this static config.
+    mesh: Any = None
 
     @classmethod
     def from_specs(cls, specs: dict, batch_split: int = 1, fused: bool = False) -> "TrainConfig":
@@ -119,8 +126,29 @@ def _loss_on_chunk(params, latents, cfg: TrainConfig, xyz, sdf_gt, point_scene_i
     if cfg.fused:
         from ..ops.fused_mlp import fused_decoder_forward
         seed = jax.random.randint(rng, (), 0, 2 ** 31 - 1, dtype=jnp.int32)
-        pred = fused_decoder_forward(cfg.decoder, params, inputs,
-                                     training=True, seed=seed)
+        if cfg.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            axis = cfg.mesh.axis_names[0]
+
+            def _fwd(p, s, xin):
+                # decorrelate the in-kernel dropout streams across
+                # shards: the kernel keys on (seed, tile, layer) and
+                # tile indices restart at 0 on every shard
+                s = s + jax.lax.axis_index(axis).astype(jnp.int32) * jnp.int32(7919)
+                return fused_decoder_forward(cfg.decoder, p, xin,
+                                             training=True, seed=s)
+
+            # check_vma=False: pallas_call's output ShapeDtypeStructs
+            # carry no varying-manner annotation (jax 0.9 defaults the
+            # check on), and the kernel output is trivially per-shard
+            pred = jax.shard_map(
+                _fwd, mesh=cfg.mesh,
+                in_specs=(P(), P(), P(axis, None)),
+                out_specs=P(axis, None), check_vma=False)(params, seed, inputs)
+        else:
+            pred = fused_decoder_forward(cfg.decoder, params, inputs,
+                                         training=True, seed=seed)
     else:
         pred = decoder_forward(cfg.decoder, params, inputs, training=True, rng=rng)
     pred = jnp.clip(pred, minT, maxT)
