@@ -34,6 +34,10 @@ def _write_gt_surfaces(sampler, info, names, sdfs=None, meshes=None,
 
     data_root = str(pathlib.Path(sampler.outdir).parent)
     for i, name in enumerate(names):
+        done = (pathlib.Path(data_root) / "SurfaceSamples"
+                / info["dataset_name"] / info["class_name"] / (name + ".ply"))
+        if done.exists():
+            continue  # deterministic per-shape seeds make reruns resumable
         if sdfs is not None:
             pts = surface_samples_from_sdf(sdfs[i], n_points=n_points, seed=i)
         else:
