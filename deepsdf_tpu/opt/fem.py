@@ -278,9 +278,46 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
     # converged ILU solve needs O(10^2) iterations, so a 10^4 budget
     # would just burn ~30 min before falling back. Bound it.
     bicg_iter = min(max_iter, 1500)
+
+    class _Abort(Exception):
+        pass
+
+    class _Monitor:
+        """Kill doomed BiCGStab runs early: a diverging or stagnating
+        weak-ILU attempt used to burn the full 1500-iteration budget
+        (~700 s on the flagship mesh) before escalation, while the
+        stronger factor then converged in ~10 iterations. One extra
+        matvec every `check` iterations buys the exit."""
+
+        def __init__(self, check=50):
+            self.n = 0
+            self.check = check
+            self.last_rr = None
+            self.xk = None
+
+        def __call__(self, xk):
+            self.n += 1
+            self.xk = xk
+            if self.n % self.check:
+                return
+            rr = _relres(xk)
+            if rr > 5.0:
+                raise _Abort(f"diverged: relres {rr:.2e} at iter {self.n}")
+            if self.last_rr is not None and rr > accept_tol:
+                f = rr / max(self.last_rr, 1e-300)
+                if f >= 0.95:
+                    raise _Abort(f"stagnated: relres {rr:.2e} "
+                                 f"(x{f:.3f}/{self.check} iters) at iter {self.n}")
+            self.last_rr = rr
+
     # escalating factor strength: thinner struts (late optimizer
-    # iterations) occasionally defeat the cheap factor
-    for drop, ff in ((1e-4, 12), (3e-6, 30)):
+    # iterations) occasionally defeat the cheap factor. The level that
+    # last converged is sticky across solves (consecutive optimizer
+    # iterations share mesh character, so a failed weak factor would
+    # keep failing every iteration).
+    levels = ((1e-4, 12), (3e-6, 30))
+    for li in range(_solve_scipy._sticky_level, len(levels)):
+        drop, ff = levels[li]
         t0 = _time.time()
         try:
             ilu = spilu(Aff.tocsc(), drop_tol=drop, fill_factor=ff,
@@ -288,19 +325,28 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
                         options=dict(SymmetricMode=True))
             Minv = LinearOperator(Aff.shape, matvec=ilu.solve)
             t_setup = _time.time() - t0
-            n_it = [0]
+            mon = _Monitor()
             t0 = _time.time()
-            cand, info = bicgstab(Aff, b, rtol=rel_tol, maxiter=bicg_iter,
-                                  M=Minv, x0=x0f,
-                                  callback=lambda xk: n_it.__setitem__(0, n_it[0] + 1))
+            try:
+                cand, info = bicgstab(Aff, b, rtol=rel_tol,
+                                      maxiter=bicg_iter, M=Minv, x0=x0f,
+                                      callback=mon)
+            except _Abort as e:
+                logger.warning("ILU(%g,%g)-BiCGStab aborted early: %s "
+                               "(solve %.1fs)", drop, ff, e,
+                               _time.time() - t0)
+                cand, info = mon.xk, -1
+                if cand is None:
+                    continue
             rr = _relres(cand)
             logger.info("ILU(%g,%g)-BiCGStab: %d iters, relres %.2e "
-                        "(setup %.1fs, solve %.1fs)", drop, ff, n_it[0], rr,
+                        "(setup %.1fs, solve %.1fs)", drop, ff, mon.n, rr,
                         t_setup, _time.time() - t0)
             if best is None or rr < best[0]:
                 best = (rr, cand)
             if rr <= accept_tol:
                 x = cand
+                _solve_scipy._sticky_level = li
                 break
             logger.warning("ILU(%g)-BiCGStab stalled at relres %.2e "
                            "(info=%s)", drop, rr, info)
@@ -330,6 +376,10 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
     u = np.zeros(3 * V)
     u[keep] = x
     return u.reshape(V, 3)
+
+
+# which ILU strength last converged; see levels loop above
+_solve_scipy._sticky_level = 0
 
 
 # ---------------- jitted kernels ----------------

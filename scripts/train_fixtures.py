@@ -26,10 +26,11 @@ DEFAULT_QUEUE = [
     "double_lattice_3D_small_network",
     "corner_spheres_only_small_network",
     "double_lattice_3D",
-    "simple_geom",
+    # next two gate the round_cross_* and no_topo optimization runs
     "round_cross_big_network",
-    "round_cross_small_network",
     "double_lattice_3D_no_topo",
+    "simple_geom",
+    "round_cross_small_network",
     "snappy3D_latent_2D_smaller_network",
     "snappy3D",
     "corner_spheres_only",
