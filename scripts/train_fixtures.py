@@ -74,12 +74,34 @@ def pipeline(name: str, fused: bool = True, force: bool = False) -> bool:
             return False
 
     eval_marker = exp / "Evaluation" / last / "chamfer.json"
-    if force or not eval_marker.exists():
+    if force or not _eval_complete(exp, specs, eval_marker):
         if run([sys.executable, "evaluate.py", "-e", str(exp), "-c", last,
                 "--emd"], log):
             return False
+        if not _eval_complete(exp, specs, eval_marker):
+            print(f"  {name}: EVAL INCOMPLETE (missing GT surface "
+                  "samples? rerun datagen then this queue)", flush=True)
+            return False
     print(f"  {name}: PIPELINE COMPLETE", flush=True)
     return True
+
+
+def _eval_complete(exp, specs, eval_marker) -> bool:
+    """chamfer.json must cover the whole test split: evaluate.py skips
+    shapes whose GT surface samples are missing (with a warning), so a
+    partial artifact would otherwise pass the done-check forever."""
+    if not eval_marker.exists():
+        return False
+    split_path = ROOT / specs["TestSplit"]
+    if not split_path.exists():
+        return True  # split not generated on this machine; can't audit
+    split_ids = set()
+    split = json.load(open(split_path))
+    for ds_name, ds in split.items():
+        for cls_name, ids in ds.items():
+            split_ids.update(f"{ds_name}/{cls_name}/{i}" for i in ids)
+    done = json.load(open(eval_marker))  # keys are "ds/cls/id"
+    return split_ids <= set(done)
 
 
 if __name__ == "__main__":
