@@ -157,11 +157,19 @@ def _bench_grid_eval() -> dict:
         lambda: eval_sdf_grid(config, params, latent, pts316k, fused=True)), 4)
     out["grid_316k_vs_baseline"] = round(BASELINE_GRID_316K_S / out["grid_316k_s"], 1)
 
-    # dense 256³ (the reference's default reconstruction grid)
+    # dense 256³ (the reference's default reconstruction grid).
+    # grid_dense_256_s includes the 67 MB host readback, which through
+    # the axon tunnel costs ~1 s of network transfer on top of compute
+    # (a host-attached chip pays PCIe instead); _device_s reduces to a
+    # checksum on device and reads one value, isolating the compute.
     coords = grid_coords(256)
     out["grid_dense_256_s"] = round(timeit(
         lambda: eval_sdf_grid(config, params, latent, coords, fused=True)), 3)
     out["grid_dense_256_pts_per_s"] = round(256 ** 3 / out["grid_dense_256_s"])
+    sum_eval = jax.jit(
+        lambda p, l: eval_sdf_grid(config, p, l, coords, fused=True).sum())
+    out["grid_dense_256_device_s"] = round(timeit(
+        lambda: sum_eval(params, latent)), 3)
 
     # sparse two-level surface-band eval, same grid
     if trained:
