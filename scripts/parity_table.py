@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Regenerate the README training-parity table from committed artifacts.
+
+Reads every experiments/<name>/Logs.npz at HEAD and the matching
+reference /root/reference/experiments/<name>/Logs.pth, compares the
+final-epoch mean clamped-L1 loss and the median s/epoch, and prints a
+markdown table (plus PARITY.json). The README table must be a paste of
+this output so its numbers are always backed by committed artifacts
+(round-2 VERDICT: the table had outlived its fixtures).
+
+Our Logs.npz mirrors the reference log schema (deep_sdf/workspace.py
+save_logs): loss is per-batch (batches_per_epoch * epochs entries),
+timing per-epoch.
+"""
+
+import json
+import os
+import pathlib
+import sys
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+REF = pathlib.Path("/root/reference/experiments")
+
+
+def _final_epoch_loss(loss, n_epochs):
+    loss = np.asarray(loss, np.float64)
+    if n_epochs <= 0 or len(loss) % n_epochs:
+        return float(loss[-1])
+    bpe = len(loss) // n_epochs
+    return float(loss[-bpe:].mean())
+
+
+def _ours(exp_dir):
+    p = exp_dir / "Logs.npz"
+    if not p.exists():
+        return None
+    d = np.load(p)
+    n_epochs = int(d["epoch"])
+    return {
+        "final_loss": _final_epoch_loss(d["loss"], n_epochs),
+        "s_per_epoch": float(np.median(d["timing"])),
+        "epochs": n_epochs,
+    }
+
+
+def _ref(name):
+    p = REF / name / "Logs.pth"
+    if not p.exists():
+        return None
+    import torch
+
+    d = torch.load(p, map_location="cpu", weights_only=False)
+    n_epochs = int(d["epoch"])
+    return {
+        "final_loss": _final_epoch_loss(d["loss"], n_epochs),
+        "s_per_epoch": float(np.median(np.asarray(d["timing"]))),
+        "epochs": n_epochs,
+    }
+
+
+def main():
+    rows = []
+    for exp_dir in sorted((ROOT / "experiments").iterdir()):
+        if not (exp_dir / "specs.json").exists():
+            continue
+        ours, ref = _ours(exp_dir), _ref(exp_dir.name)
+        if ours is None and ref is None:
+            continue
+        rows.append({"experiment": exp_dir.name, "ours": ours, "ref": ref})
+
+    with open(ROOT / "PARITY.json", "w") as f:
+        json.dump(rows, f, indent=2)
+
+    print("| Recipe (epochs) | final clamped-L1 ours (ref) | s/epoch ours (ref) |")
+    print("|---|---|---|")
+    for r in rows:
+        o, f = r["ours"], r["ref"]
+        name = r["experiment"]
+        if o is None:
+            print(f"| {name} | — (ref {f['final_loss']:.4f}) | — ({f['s_per_epoch']:.2f}) |")
+            continue
+        ep = f" ({o['epochs']} ep)" if o else ""
+        lo = f"{o['final_loss']:.4f}"
+        if f is None:
+            print(f"| {name}{ep} | {lo} (no ref log) | {o['s_per_epoch']:.2f} |")
+        else:
+            bold = "**" if o["final_loss"] <= f["final_loss"] else ""
+            print(f"| {name}{ep} | {bold}{lo}{bold} ({f['final_loss']:.4f}) "
+                  f"| {o['s_per_epoch']:.2f} ({f['s_per_epoch']:.2f}) |")
+    missing = [r["experiment"] for r in rows if r["ours"] is None]
+    if missing:
+        print(f"\nmissing our Logs.npz: {', '.join(missing)}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
