@@ -20,6 +20,7 @@ ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 # (experiment, checkpoint) pairs whose artifacts are committed at HEAD
 REQUIRED = [
+    ("double_lattice_3D", "1000"),
     ("corner_spheres_only_small_network", "1000"),
     ("double_lattice_3D_small_network", "1000"),
     ("external_knots", "1500"),
