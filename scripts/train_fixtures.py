@@ -68,9 +68,17 @@ def pipeline(name: str, fused: bool = True, force: bool = False) -> bool:
         print(f"  {name}: trained ({last}.npz present)", flush=True)
 
     recon_marker = exp / "Reconstructions" / last / "Meshes"
-    if force or not recon_marker.exists():
-        if run([sys.executable, "reconstruct.py", "-e", str(exp),
-                "-c", last], log):
+    n_meshes = len(list(recon_marker.rglob("*.ply"))) if recon_marker.exists() else 0
+    if force or n_meshes < max(_split_size(specs), 1):
+        cmd = [sys.executable, "reconstruct.py", "-e", str(exp), "-c", last]
+        # hundreds-of-shapes sweeps: 256^3 host marching is ~20 s/shape
+        # on a busy 2-core box (hours for 400 shapes); reconstruction
+        # meshes for the big double_lattice families use 128^3 (the
+        # chamfer eval is self-consistent — the reference ships no
+        # evaluation artifacts to match, having deleted evaluate.py)
+        if _split_size(specs) >= 200:
+            cmd += ["--resolution", "128"]
+        if run(cmd, log):
             return False
 
     eval_marker = exp / "Evaluation" / last / "chamfer.json"
@@ -84,6 +92,14 @@ def pipeline(name: str, fused: bool = True, force: bool = False) -> bool:
             return False
     print(f"  {name}: PIPELINE COMPLETE", flush=True)
     return True
+
+
+def _split_size(specs) -> int:
+    split_path = ROOT / specs["TestSplit"]
+    if not split_path.exists():
+        return 0
+    split = json.load(open(split_path))
+    return sum(len(ids) for ds in split.values() for ids in ds.values())
 
 
 def _eval_complete(exp, specs, eval_marker) -> bool:
