@@ -12,7 +12,8 @@ from scipy.spatial import cKDTree as KDTree
 
 
 def sample_surface(vertices: np.ndarray, faces: np.ndarray, count: int,
-                   rng: np.random.Generator | None = None) -> np.ndarray:
+                   rng: np.random.Generator | None = None,
+                   return_index: bool = False) -> np.ndarray:
     """Area-weighted uniform sampling of a triangle mesh surface
     (replaces trimesh.sample.sample_surface, ref chamfer.py:21)."""
     rng = rng or np.random.default_rng()
@@ -31,7 +32,10 @@ def sample_surface(vertices: np.ndarray, faces: np.ndarray, count: int,
     b = sqrt_r1 * (1.0 - r2)
     c = sqrt_r1 * r2
     t = tv[tri_idx]
-    return a[:, None] * t[:, 0] + b[:, None] * t[:, 1] + c[:, None] * t[:, 2]
+    pts = a[:, None] * t[:, 0] + b[:, None] * t[:, 1] + c[:, None] * t[:, 2]
+    if return_index:
+        return pts, tri_idx
+    return pts
 
 
 def compute_chamfer(gt_points: np.ndarray, gen_vertices: np.ndarray,

@@ -21,7 +21,7 @@ from deepsdf_tpu.sdf_sampler.tiles import DoubleLatticeExtruded, Snappy3D
 
 
 def _write_gt_surfaces(sampler, info, names, sdfs=None, meshes=None,
-                       n_points=30000):
+                       n_points=30000, grid_n=48):
     """GT surface point clouds under <data>/SurfaceSamples/... for
     chamfer/EMD evaluation (the role of the reference's
     SampleVisibleMeshSurface outputs, src/SampleVisibleMeshSurface.cpp:23,
@@ -39,7 +39,8 @@ def _write_gt_surfaces(sampler, info, names, sdfs=None, meshes=None,
         if done.exists():
             continue  # deterministic per-shape seeds make reruns resumable
         if sdfs is not None:
-            pts = surface_samples_from_sdf(sdfs[i], n_points=n_points, seed=i)
+            pts = surface_samples_from_sdf(sdfs[i], n_points=n_points, seed=i,
+                                           grid_n=grid_n)
         else:
             verts, faces = meshes[i]
             pts = sample_surface(verts, faces, n_points,
@@ -174,7 +175,12 @@ def gen_double_lattice(sampler, n_samples, geometry_dir, analytic=True,
     split = sampler.sample_sdfs(sdfs, info, n_samples=n_samples)
     sampler.write_json(split_name, info, split)
     if surface_samples:
-        _write_gt_surfaces(sampler, info, split, sdfs=sdfs)
+        # the flagship sweep reaches t=0.01 (walls ~0.02 in [-1,1]
+        # units): seed-marching needs h<~0.016 to detect them (48^3
+        # loses whole walls, measured ref->cloud p99 0.67); no_topo's
+        # t>=0.05 walls are safe at the cheap default
+        _write_gt_surfaces(sampler, info, split, sdfs=sdfs,
+                           grid_n=48 if no_topo else 128)
 
 
 if __name__ == "__main__":
