@@ -67,6 +67,13 @@ def pipeline(name: str, fused: bool = True, force: bool = False) -> bool:
     else:
         print(f"  {name}: trained ({last}.npz present)", flush=True)
 
+    eval_marker = exp / "Evaluation" / last / "chamfer.json"
+    if not force and _eval_complete(exp, specs, eval_marker):
+        # committed evaluation already covers the split; mesh plys are
+        # machine-local (gitignored) and not worth regenerating
+        print(f"  {name}: PIPELINE COMPLETE (evaluation committed)", flush=True)
+        return True
+
     recon_marker = exp / "Reconstructions" / last / "Meshes"
     n_meshes = len(list(recon_marker.rglob("*.ply"))) if recon_marker.exists() else 0
     if force or n_meshes < max(_split_size(specs), 1):
@@ -81,7 +88,6 @@ def pipeline(name: str, fused: bool = True, force: bool = False) -> bool:
         if run(cmd, log):
             return False
 
-    eval_marker = exp / "Evaluation" / last / "chamfer.json"
     if force or not _eval_complete(exp, specs, eval_marker):
         if run([sys.executable, "evaluate.py", "-e", str(exp), "-c", last,
                 "--emd"], log):
