@@ -110,6 +110,17 @@ def evaluate(experiment_directory: str, checkpoint: str, data_source: str,
                     continue
                 gen_verts, gen_faces = read_ply(mesh_path)
                 gt_points, _ = read_ply(gt_path)
+                if len(gen_faces) == 0:
+                    # a degenerate reconstruction (latent decoded to
+                    # all-solid/all-void) has no surface; record the
+                    # failure explicitly instead of crashing or
+                    # silently dropping the instance
+                    logger.warning("degenerate (empty) reconstruction %s",
+                                   mesh_path)
+                    results[f"{dataset}/{class_name}/{instance}"] = None
+                    if with_emd:
+                        emd_results[f"{dataset}/{class_name}/{instance}"] = None
+                    continue
 
                 # normalization params (ShapeNet path, ref README.md:151-156)
                 norm_path = ws.get_normalization_params_filename(
@@ -143,12 +154,11 @@ def evaluate(experiment_directory: str, checkpoint: str, data_source: str,
         os.makedirs(emd_dir, exist_ok=True)
         with open(os.path.join(emd_dir, "emd.json"), "w") as f:
             json.dump(emd_results, f, indent=2)
-    if results:
-        vals = np.asarray(list(results.values()))
-        logger.info("chamfer mean %.6f median %.6f over %d shapes",
-                    vals.mean(), np.median(vals), len(vals))
-    if emd_results:
-        vals = np.asarray(list(emd_results.values()))
-        logger.info("emd mean %.6f median %.6f over %d shapes",
-                    vals.mean(), np.median(vals), len(vals))
+    for label, res in (("chamfer", results), ("emd", emd_results)):
+        vals = np.asarray([v for v in res.values() if v is not None])
+        n_bad = sum(1 for v in res.values() if v is None)
+        if len(vals):
+            logger.info("%s mean %.6f median %.6f over %d shapes%s",
+                        label, vals.mean(), np.median(vals), len(vals),
+                        f" ({n_bad} degenerate)" if n_bad else "")
     return results
