@@ -43,6 +43,10 @@ def surface_samples_from_sdf(sdf_fn, n_points: int = 30000, grid_n: int = 48,
     grid = np.asarray(sdf_fn(q)).reshape(grid_n, grid_n, grid_n)
     h = 2.0 / (grid_n - 1)
     verts, faces, normals, _ = marching_tetrahedra(grid, 0.0, (h, h, h))
+    if len(faces) == 0:
+        raise ValueError(
+            f"marching extraction at {grid_n}^3 produced no faces — the "
+            "shape is thinner than the coarse grid; raise grid_n")
     rng = np.random.default_rng(seed)
     pts, tri_idx = sample_surface(verts - 1.0, faces, n_points, rng,
                                   return_index=True)
@@ -55,12 +59,24 @@ def surface_samples_from_sdf(sdf_fn, n_points: int = 30000, grid_n: int = 48,
     d1 = np.asarray(sdf_fn(pts + eps * n)).ravel()
     n *= np.sign(d1 - d0 + 1e-30)[:, None]
     step_cap = h  # never step further than one coarse cell
+    # A sliver triangle's averaged normal can be near-tangent; stepping
+    # along it does not shrink |sdf| but DOES slide the point
+    # tangentially (up to project_iters*h), perturbing area-uniformity.
+    # Freeze any point whose |sdf| residual fails to shrink — it stays
+    # on the marching surface, whose error is bounded by the cell size.
+    active = np.ones(len(pts), bool)
+    best = np.abs(np.asarray(sdf_fn(pts)).ravel())
     for _ in range(project_iters):
-        d = np.asarray(sdf_fn(pts)).ravel()
-        pts = pts - np.clip(d, -step_cap, step_cap)[:, None] * n
-    # guard: a sliver triangle's averaged normal can be near-tangent and
-    # fail to converge; such points stay on the marching surface, whose
-    # own error is bounded by the cell size
+        if not active.any():
+            break
+        d = np.asarray(sdf_fn(pts[active])).ravel()
+        cand = pts[active] - np.clip(d, -step_cap, step_cap)[:, None] * n[active]
+        d_new = np.abs(np.asarray(sdf_fn(cand)).ravel())
+        improved = d_new < best[active]
+        idx = np.flatnonzero(active)
+        pts[idx[improved]] = cand[improved]
+        best[idx[improved]] = d_new[improved]
+        active[idx[~improved]] = False
     return pts
 
 

@@ -76,7 +76,7 @@ def load_reference_model(path: str, config) -> tuple[dict, int | None]:
     if path.endswith(".pt"):
         mod = torch.jit.load(path, map_location="cpu")
         return params_from_state_dict(mod.state_dict(), config), None
-    data = torch.load(path, map_location="cpu", weights_only=False)
+    data = torch.load(path, map_location="cpu", weights_only=True)
     sd = data["model_state_dict"] if "model_state_dict" in data else data
     return params_from_state_dict(sd, config), data.get("epoch")
 
@@ -89,7 +89,7 @@ def load_reference_latents(path: str) -> tuple[np.ndarray, int | None]:
     """
     import torch
 
-    data = torch.load(path, map_location="cpu", weights_only=False)
+    data = torch.load(path, map_location="cpu", weights_only=True)
     codes = data["latent_codes"]
     if isinstance(codes, torch.Tensor):
         # legacy: (num, 1, L)

@@ -294,6 +294,7 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
             self.check = check
             self.last_rr = None
             self.xk = None
+            self.stalled = 0
 
         def __call__(self, xk):
             self.n += 1
@@ -304,10 +305,19 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
             if rr > 5.0:
                 raise _Abort(f"diverged: relres {rr:.2e} at iter {self.n}")
             if self.last_rr is not None and rr > accept_tol:
+                # BiCGStab residuals are non-monotone: a single flat
+                # checkpoint can be a transient plateau, so require TWO
+                # consecutive stagnant checkpoints before giving up on
+                # this factorization (advisor round 3)
                 f = rr / max(self.last_rr, 1e-300)
                 if f >= 0.95:
-                    raise _Abort(f"stagnated: relres {rr:.2e} "
-                                 f"(x{f:.3f}/{self.check} iters) at iter {self.n}")
+                    self.stalled += 1
+                    if self.stalled >= 2:
+                        raise _Abort(f"stagnated: relres {rr:.2e} "
+                                     f"(x{f:.3f}/{self.check} iters, "
+                                     f"2 checks) at iter {self.n}")
+                else:
+                    self.stalled = 0
             self.last_rr = rr
 
     # escalating factor strength: thinner struts (late optimizer
@@ -316,7 +326,18 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
     # iterations share mesh character, so a failed weak factor would
     # keep failing every iteration).
     levels = ((1e-4, 12), (3e-6, 30))
-    for li in range(_solve_scipy._sticky_level, len(levels)):
+    # The level that last converged is sticky PER PROBLEM SIZE (ndof
+    # keys consecutive optimizer iterations on the same mesh family
+    # without leaking across unrelated runs/tests in one process —
+    # advisor round 3), and the weak factor is retried every 8th solve
+    # so a transient escalation doesn't pin the fill_factor=30 cost
+    # forever.
+    key = Aff.shape[0]
+    start = _solve_scipy._sticky_level.get(key, 0)
+    _solve_scipy._solve_count[key] = _solve_scipy._solve_count.get(key, 0) + 1
+    if start > 0 and _solve_scipy._solve_count[key] % 8 == 0:
+        start = 0
+    for li in range(start, len(levels)):
         drop, ff = levels[li]
         t0 = _time.time()
         try:
@@ -346,7 +367,7 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
                 best = (rr, cand)
             if rr <= accept_tol:
                 x = cand
-                _solve_scipy._sticky_level = li
+                _solve_scipy._sticky_level[key] = li
                 break
             logger.warning("ILU(%g)-BiCGStab stalled at relres %.2e "
                            "(info=%s)", drop, rr, info)
@@ -378,8 +399,9 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
     return u.reshape(V, 3)
 
 
-# which ILU strength last converged; see levels loop above
-_solve_scipy._sticky_level = 0
+# which ILU strength last converged, keyed by ndof; see levels loop above
+_solve_scipy._sticky_level = {}
+_solve_scipy._solve_count = {}
 
 
 # ---------------- jitted kernels ----------------

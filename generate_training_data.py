@@ -20,6 +20,14 @@ from deepsdf_tpu.sdf_sampler import (
 from deepsdf_tpu.sdf_sampler.tiles import DoubleLatticeExtruded, Snappy3D
 
 
+# Bump whenever the GT-surface generation algorithm changes: existing
+# plys of a different (or unrecorded) provenance are wiped and
+# regenerated, so resumed runs never keep mixed-method GT clouds
+# (advisor round 3 — the 48^3+Newton projection replaced dense 128^3
+# marching but resume kept old plys).
+_SURFACE_METHOD = "marching48-newton-project-v2"
+
+
 def _write_gt_surfaces(sampler, info, names, sdfs=None, meshes=None,
                        n_points=30000, grid_n=48):
     """GT surface point clouds under <data>/SurfaceSamples/... for
@@ -27,15 +35,35 @@ def _write_gt_surfaces(sampler, info, names, sdfs=None, meshes=None,
     SampleVisibleMeshSurface outputs, src/SampleVisibleMeshSurface.cpp:23,
     for analytic/tile datasets): level-set extraction of the SDF or
     area-weighted sampling of the tile mesh."""
+    import json
+
     from deepsdf_tpu.eval.evaluate import (
         surface_samples_from_sdf, write_surface_samples,
     )
     from deepsdf_tpu.metrics.chamfer import sample_surface
 
     data_root = str(pathlib.Path(sampler.outdir).parent)
+    cls_dir = (pathlib.Path(data_root) / "SurfaceSamples"
+               / info["dataset_name"] / info["class_name"])
+    manifest = cls_dir / ".method.json"
+    tag = None
+    if manifest.exists():
+        try:
+            tag = json.load(open(manifest)).get("method")
+        except (json.JSONDecodeError, OSError):
+            tag = None
+    if tag != _SURFACE_METHOD:
+        stale = list(cls_dir.glob("*.ply")) if cls_dir.exists() else []
+        if stale:
+            print(f"surface samples: method changed ({tag!r} -> "
+                  f"{_SURFACE_METHOD!r}), regenerating {len(stale)} plys "
+                  f"in {cls_dir}")
+            for p in stale:
+                p.unlink()
+        cls_dir.mkdir(parents=True, exist_ok=True)
+        json.dump({"method": _SURFACE_METHOD}, open(manifest, "w"))
     for i, name in enumerate(names):
-        done = (pathlib.Path(data_root) / "SurfaceSamples"
-                / info["dataset_name"] / info["class_name"] / (name + ".ply"))
+        done = cls_dir / (name + ".ply")
         if done.exists():
             continue  # deterministic per-shape seeds make reruns resumable
         if sdfs is not None:

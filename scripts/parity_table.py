@@ -51,7 +51,7 @@ def _ref(name):
         return None
     import torch
 
-    d = torch.load(p, map_location="cpu", weights_only=False)
+    d = torch.load(p, map_location="cpu", weights_only=True)
     n_epochs = int(d["epoch"])
     return {
         "final_loss": _final_epoch_loss(d["loss"], n_epochs),
