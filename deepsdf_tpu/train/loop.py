@@ -307,6 +307,15 @@ def main_function(experiment_directory: str, continue_from: str | None = None,
                 ckpt.save_logs(experiment_directory, loss_log, lr_log, timing_log,
                                lat_mag_log, param_mag_log, epoch)
                 break
+        else:
+            # loop ran to completion: persist the final epoch even when
+            # NumEpochs is not a multiple of log_frequency (otherwise
+            # `latest` lags behind the returned state)
+            if num_epochs >= start_epoch and num_epochs % log_frequency != 0:
+                save_latest(num_epochs)
+                ckpt.save_logs(experiment_directory, loss_log, lr_log,
+                               timing_log, lat_mag_log, param_mag_log,
+                               num_epochs)
     finally:
         if prev_handler is not None:
             signal.signal(signal.SIGINT, prev_handler)

@@ -27,8 +27,14 @@ if __name__ == "__main__":
     arg_parser.add_argument("--seed", type=int, default=0)
     arg_parser.add_argument("--fused", action="store_true",
                             help="use the Pallas fused MLP kernel (TPU)")
+    arg_parser.add_argument("--cpu", action="store_true",
+                            help="force the CPU jax backend (keeps the run "
+                                 "independent of the TPU tunnel)")
     deepsdf_tpu.utils.add_common_args(arg_parser)
     args = arg_parser.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     deepsdf_tpu.utils.configure_logging(args)
     # multi-host init BEFORE first jax use (auto-detects pod/SLURM
     # environments, no-op single-host; SURVEY.md §5.8)
