@@ -25,6 +25,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .config import Config
+from .fem import FEMSolveDiverged
 from .geometry import DeepSDFMesh
 from .mma import MMA
 from .problems import CantileverBeam
@@ -254,12 +255,24 @@ class struct_optimization:
         if not self.resume:
             self.move_older_sims_to_temp_dir()
         method = self.options["optimization"]["method"]
-        if method in ("BFGS", "COBYLA"):
-            result = self.run_scipy_optimization(self.options["optimization"])
-        elif method == "MMA":
-            result = self.run_MMA_optimization(self.options["optimization"])
-        else:
-            raise ValueError("Optimizer method not available")
+        try:
+            if method in ("BFGS", "COBYLA"):
+                result = self.run_scipy_optimization(self.options["optimization"])
+            elif method == "MMA":
+                result = self.run_MMA_optimization(self.options["optimization"])
+            else:
+                raise ValueError("Optimizer method not available")
+        except FEMSolveDiverged as e:
+            # mechanism collapse: the structure detached / pinched off
+            # and no solver level can produce a meaningful compliance.
+            # End the run gracefully — completed iterations are already
+            # flushed to results.json (the reference's round_cross_base
+            # log ends the same way; PARITY_NOTES.md).
+            self.logger.warning(
+                "MECHANISM COLLAPSE at iteration %d: %s — ending run "
+                "with %d completed iterations", self.iteration, e,
+                len(self.optimization_results.compliance))
+            result = None
         with open(self.optimization_folder / "results.json", "w") as f:
             json.dump(dataclasses.asdict(self.optimization_results), f)
         return result

@@ -29,6 +29,14 @@ import jax.numpy as jnp
 logger = logging.getLogger(__name__)
 
 
+class FEMSolveDiverged(RuntimeError):
+    """Raised when every solver level fails: the stiffness system is
+    mechanism-singular (structure detached / pinched off). The
+    optimization driver treats this as a graceful end of the run
+    (mirrors the reference's own round_cross_base log, which ends in
+    the same regime — optimization_runs/PARITY_NOTES.md)."""
+
+
 # ---------------- element geometry ----------------
 
 def _det3(e):
@@ -374,6 +382,31 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
         except Exception:
             logger.exception("ILU(%g) setup/solve failed", drop)
 
+    if x is None and Aff.shape[0] <= 700_000:
+        # Direct factorization as the next level: localized floppy
+        # modes (λ_min ~1e-5, thin struts near mechanism) defeat every
+        # Krylov/AMG combination but are still well inside float64 for
+        # a pivoted LU — this is what lets an optimization survive a
+        # near-mechanism iterate instead of feeding ~1e7 garbage
+        # compliance into MMA (round_cross_more_knot_vecs iter 10).
+        # Gated by ndof: fill-in at flagship scale (555k dof) fits this
+        # box, far beyond it may not.
+        from scipy.sparse.linalg import splu
+        try:
+            t0 = _time.time()
+            lu = splu(Aff.tocsc(), permc_spec="MMD_AT_PLUS_A",
+                      options=dict(SymmetricMode=True))
+            cand = lu.solve(b)
+            rr = _relres(cand)
+            logger.info("SuperLU direct: relres %.2e (%.1fs)", rr,
+                        _time.time() - t0)
+            if best is None or rr < best[0]:
+                best = (rr, cand)
+            if rr <= max(accept_tol, 1e-8):
+                x = cand
+        except Exception:
+            logger.exception("direct solve failed")
+
     if x is None:
         from .amg import SmoothedAggregationAMG
         t0 = _time.time()
@@ -394,6 +427,14 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
         if best is not None and best[0] < rr:
             x = best[1]
             logger.info("keeping best ILU iterate (relres %.2e)", best[0])
+    final_rr = _relres(x)
+    if final_rr > 1e-3:
+        # every level (ILU ladder, direct LU, AMG) failed: the system
+        # is mechanism-singular, not merely ill-conditioned. Returning
+        # this x would hand the optimizer a meaningless compliance.
+        raise FEMSolveDiverged(
+            f"all solver levels diverged (best relres {final_rr:.2e}) — "
+            "the structure has detached into a mechanism")
     u = np.zeros(3 * V)
     u[keep] = x
     return u.reshape(V, 3)

@@ -153,6 +153,11 @@ class DeepSDFMesh:
         self._spacing = extras["spacing"]
         self._origin = extras["origin"]
         self._surface_topo = extras["topo"]
+        if len(verts) == 0 or len(faces) == 0:
+            from .fem import FEMSolveDiverged
+            raise FEMSolveDiverged(
+                "surface extraction produced an empty mesh — the design "
+                "has degenerated (no material crosses the iso-level)")
         jac = jac.reshape((jac.shape[0], jac.shape[1], -1))
 
         # "freeform deformation": beam aspect ×2 in x (ref :88-94)

@@ -158,3 +158,28 @@ def test_compliance_shape_derivative_fd():
     assert np.sign(fd) == np.sign(dc)
     ratio = dc / fd
     assert 1.0 < ratio < 1.4, ratio
+
+
+def test_mechanism_singular_raises():
+    """A loaded component disconnected from the fixed plane is a
+    mechanism: every solver level (ILU ladder, direct LU, AMG) must
+    fail and the solve must raise FEMSolveDiverged instead of
+    returning garbage compliance (round-4 driver contract)."""
+    from deepsdf_tpu.opt.fem import FEMSolveDiverged
+
+    L, h = 1.0, 0.25
+    a = box_mesh(9, 4, 4, L, h)
+    b = box_mesh(9, 4, 4, L, h)
+    off = b.vertices.copy()
+    off[:, 2] += 1.0  # float the second box above the first
+    verts = np.vstack([a.vertices, off])
+    tets = np.vstack([a.tets, b.tets + len(a.vertices)])
+    solver = ElasticitySolver(verts, tets, lam=0.0, mu=105.0)
+    solver.set_essential_vertices(
+        (verts[:, 0] < 1e-9) & (verts[:, 2] < 0.5))  # fix box A only
+    bf_b = b.boundary_faces() + len(a.vertices)
+    centers = verts[bf_b].mean(axis=1)
+    tip_faces = bf_b[centers[:, 0] > L - 1e-9]  # load the FLOATING box
+    solver.set_surface_load(tip_faces, np.array([0.0, 0.0, -0.01]))
+    with pytest.raises(FEMSolveDiverged):
+        solver.solve(method="scipy", rel_tol=1e-10)
