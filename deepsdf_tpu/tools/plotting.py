@@ -169,12 +169,75 @@ def plot_convergence(results, savefig=None):
     return fig
 
 
+def raster_screenshot(verts, faces, filename, elev: float = 20,
+                      azim: float = -60, res: int = 900,
+                      samples_per_face: float = 4.0):
+    """Offscreen shaded render via vectorized point-splat z-buffering —
+    O(points) numpy, no per-triangle python loop, so it handles the
+    half-million-face optimization surfaces that stall matplotlib's
+    Poly3DCollection (563k faces > 5 min; this path ~2 s)."""
+    from ..metrics.chamfer import sample_surface
+
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces, np.int64)
+    n_pts = int(min(max(len(faces) * samples_per_face, 200_000), 4_000_000))
+    pts, tri = sample_surface(verts, faces, n_pts,
+                              np.random.default_rng(0), return_index=True)
+    tv = verts[faces]
+    fn = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+    fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-300)
+    n = fn[tri]
+
+    # view rotation (matplotlib elev/azim convention, orthographic)
+    az, el = np.radians(azim), np.radians(elev)
+    fwd = -np.array([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                     np.sin(el)])                     # camera looks along fwd
+    up0 = np.array([0.0, 0.0, 1.0])
+    right = np.cross(fwd, up0)
+    right /= np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    uvd = pts @ np.stack([right, up, fwd], axis=1)    # (N,3): u, v, depth
+
+    lo, hi = uvd[:, :2].min(0), uvd[:, :2].max(0)
+    c, r = (lo + hi) / 2, max((hi - lo).max() / 2 * 1.05, 1e-9)
+    ix = np.clip(((uvd[:, 0] - c[0] + r) / (2 * r) * (res - 1)), 0,
+                 res - 1).astype(np.int32)
+    iy = np.clip(((uvd[:, 1] - c[1] + r) / (2 * r) * (res - 1)), 0,
+                 res - 1).astype(np.int32)
+
+    light = np.array([0.4, 0.3, 0.87])
+    shade = 0.35 + 0.65 * np.clip(np.abs(n @ light), 0, 1)
+
+    # painter's algorithm: draw far-to-near so near points win; splat a
+    # 2x2 footprint per point so the cover has no pinholes
+    order = np.argsort(-uvd[:, 2], kind="stable")
+    img = np.ones((res, res, 3))
+    colors = np.outer(shade[order], [0.5, 0.6, 0.8])
+    oy, ox = iy[order], ix[order]
+    for dy in (0, 1):
+        for dx in (0, 1):
+            img[np.minimum(oy + dy, res - 1),
+                np.minimum(ox + dx, res - 1)] = colors
+
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.imshow(img, origin="lower")
+    ax.set_axis_off()
+    fig.savefig(filename, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return filename
+
+
 def screenshot_mesh(verts, faces, filename, elev: float = 20, azim: float = -60,
                     figsize=(6, 6)):
     """Offscreen mesh render to PNG (replaces the vedo screenshot tool,
-    ref create_screenshots_from_plyfiles.py:17-36)."""
+    ref create_screenshots_from_plyfiles.py:17-36). Large meshes go
+    through the rasterizing path (matplotlib's Poly3DCollection is
+    unusable beyond ~10^5 faces)."""
     from mpl_toolkits.mplot3d.art3d import Poly3DCollection
 
+    if len(faces) > 120_000:
+        return raster_screenshot(verts, faces, filename, elev=elev, azim=azim)
     plt = _plt()
     fig = plt.figure(figsize=figsize)
     ax = fig.add_subplot(projection="3d")
