@@ -21,6 +21,10 @@ from deepsdf_tpu.sdf_sampler import CornerSpheresSDF, SDFSampler
 from deepsdf_tpu.train.loop import main_function
 from deepsdf_tpu.train.step import TrainConfig
 
+# slow tier: end-to-end 600-epoch training (~6 min clean, >19 min under load);
+# the default tier covers the same surface via tests/test_cli.py
+pytestmark = pytest.mark.slow
+
 
 N_SHAPES = 6
 RADII = np.linspace(0.5, 0.95, N_SHAPES)

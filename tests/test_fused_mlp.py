@@ -57,6 +57,7 @@ def test_forward_matches_xla():
     assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.9999
 
 
+@pytest.mark.slow
 def test_gradients_match_xla_no_dropout():
     config = small_config()
     params = init_decoder_params(jax.random.PRNGKey(1), config)
@@ -86,6 +87,7 @@ def test_gradients_match_xla_no_dropout():
             assert frac_ok > 0.98, (lname, key, frac_ok)
 
 
+@pytest.mark.slow
 def test_dropout_deterministic_and_fd_consistent():
     config = small_config(dropout=(0, 1, 2, 3), dropout_prob=0.2)
     params = init_decoder_params(jax.random.PRNGKey(2), config)
@@ -119,6 +121,7 @@ def test_dropout_deterministic_and_fd_consistent():
     assert abs(gv[idx] - fd) / scale < 0.25, (gv[idx], fd)
 
 
+@pytest.mark.slow
 def test_training_step_with_fused_decoder_converges():
     """Swap the fused kernel into a mini training loop and check loss falls."""
     import optax

@@ -13,6 +13,9 @@ from jax.experimental.pallas import tpu as pltpu
 from deepsdf_tpu.networks.decoder import DecoderConfig, init_decoder_params
 from deepsdf_tpu.ops.fused_mlp import FusedMLPSpec, fused_mlp, pack_params
 
+# slow tier: interpret-mode Pallas split-bwd kernels: minutes on a CPU host
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def interpret_mode():

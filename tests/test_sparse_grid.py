@@ -127,6 +127,7 @@ def test_create_mesh_sparse_flag(fixture_model, tmp_path):
 
 
 @pytest.mark.parametrize("sparse,N", [(False, 48), (True, 128)])
+@pytest.mark.slow
 def test_pipelined_sweep_matches_per_call(fixture_model, tmp_path, sparse, N):
     """create_meshes_pipelined output files are identical to per-job
     create_mesh calls (the pipeline only reorders host/device work).
