@@ -150,12 +150,13 @@ def _bench_grid_eval() -> dict:
         return best
 
     out = {}
-    # 316k-point eval — the reference's per-optimization-iteration grid
+    # 316k-point FORWARD-ONLY eval (honest label: the reference's
+    # 1.03 s comparator additionally includes dVerts/dControl
+    # jacobians — that comparison lives in grid_316k_jac_s below)
     pts316k = jnp.asarray(
         np.random.default_rng(3).uniform(-1, 1, (316030, 3)).astype(np.float32))
-    out["grid_316k_s"] = round(timeit(
+    out["grid_316k_fwd_s"] = round(timeit(
         lambda: eval_sdf_grid(config, params, latent, pts316k, fused=True)), 4)
-    out["grid_316k_vs_baseline"] = round(BASELINE_GRID_316K_S / out["grid_316k_s"], 1)
 
     # dense 256³ (the reference's default reconstruction grid).
     # grid_dense_256_s includes the 67 MB host readback, which through
@@ -190,6 +191,56 @@ def _bench_grid_eval() -> dict:
     return out
 
 
+def _bench_microstructure_jac() -> dict:
+    """Differentiable microstructure mesh extraction — the HONEST
+    comparator to the reference's per-iteration number.
+
+    The reference's optimization log times 'Computing Solution' mesh
+    generation at 1.03–1.17 s on A100: a 316,030-pt (169×22×85) grid
+    eval over the opti_double_lattice_8x4 config PLUS the full
+    dVerts/dControl jacobians for 60 design variables (ref
+    optimization_runs/opti_double_lattice_8x4/optimization_logs.log,
+    mesh.py:380-450). This times our IFT-based equivalent end-to-end:
+    grid eval + marching + one batched VJP, host work included."""
+    import json as _json
+
+    import numpy as np
+
+    from deepsdf_tpu.mesh.diff_mesh import create_mesh_microstructure_diff
+    from deepsdf_tpu.ops.bspline import latent_field_spline
+    from deepsdf_tpu.workspace import load_trained_model
+
+    mesh_cfg = _json.load(
+        open("optimization_runs/opti_double_lattice_8x4/config.json"))["mesh"]
+    config, params = load_trained_model(mesh_cfg["experiment_directory"],
+                                        mesh_cfg["checkpoint"])
+    spline = latent_field_spline(config.latent_size, mesh_cfg["degrees"],
+                                 mesh_cfg["refinement"])
+    spline.control_points = np.zeros_like(spline.control_points)
+    tiling = mesh_cfg["tiling"]
+    N = [mesh_cfg["N_base_reconstruction"] * t + 1 for t in tiling]
+
+    def run():
+        verts, faces, jac = create_mesh_microstructure_diff(
+            tiling, config, params, spline, N=N,
+            cap_border_dict=mesh_cfg["cap_border_dict"],
+            compute_derivatives=True)
+        return np.asarray(jac)
+
+    run()  # compile/warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jac = run()
+        best = min(best, time.perf_counter() - t0)
+    n_dv = int(np.prod(jac.shape[2:]))
+    return {
+        "grid_316k_jac_s": round(best, 3),
+        "grid_316k_jac_n_design_vars": n_dv,
+        "grid_316k_jac_vs_baseline": round(BASELINE_GRID_316K_S / best, 2),
+    }
+
+
 def main() -> None:
     train_sps = _bench_training()
     result = {
@@ -202,6 +253,10 @@ def main() -> None:
         result.update(_bench_grid_eval())
     except Exception as e:  # grid metrics are secondary — never lose the train number
         result["grid_eval_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        result.update(_bench_microstructure_jac())
+    except Exception as e:
+        result["grid_jac_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result), flush=True)
 
 

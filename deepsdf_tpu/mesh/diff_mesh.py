@@ -59,6 +59,29 @@ def diff_grid(N):
     return coords, dims, spacing, origin
 
 
+# One-slot cache for the diff grid + latent-spline basis matrix: the
+# optimization driver calls this every MMA iteration with the SAME N
+# and spline knots (only control VALUES change, and the basis doesn't
+# depend on them) — recomputing the 316k-point host basis every call
+# cost ~3-4 s/iteration of the differentiable-mesh path.
+_GRID_BASIS_CACHE: dict = {}
+
+
+def _cached_grid_and_basis(spline, N):
+    key = (tuple(N), tuple(int(d) for d in spline.degrees),
+           tuple(tuple(float(k) for k in kv) for kv in spline.knot_vectors),
+           spline.control_points.shape)
+    hit = _GRID_BASIS_CACHE.get(key)
+    if hit is None:
+        coords_np, dims, spacing, origin = diff_grid(N)
+        basis = domain_basis_matrix(spline, coords_np)
+        hit = (coords_np, dims, spacing, origin, basis,
+               jnp.asarray(coords_np), jnp.asarray(basis))
+        _GRID_BASIS_CACHE.clear()  # one slot — entries are ~80 MB
+        _GRID_BASIS_CACHE[key] = hit
+    return hit
+
+
 @partial(jax.jit, static_argnames=("config", "tiling", "cap_items"))
 def _point_latent_grads(config: DecoderConfig, params, orig_pts: jax.Array,
                         lat_pts: jax.Array, tiling, cap_items) -> jax.Array:
@@ -97,19 +120,22 @@ def create_mesh_microstructure_diff(tiling, config: DecoderConfig, params,
     cap_items = cap_items_tuple(cap_border_dict)
 
     t_start = time.time()
-    coords_np, dims, spacing, origin = diff_grid(N)
+    (coords_np, dims, spacing, origin, basis,
+     coords, basis_dev) = _cached_grid_and_basis(spline, N)
     logger.debug("Querying %d DeepSDF points", coords_np.shape[0])
-    coords = jnp.asarray(coords_np)
-    basis = domain_basis_matrix(spline, coords_np)
     cpts = jnp.asarray(spline.control_points, dtype=jnp.float32)
 
-    sdf = microstructure_sdf(config, params, cpts, jnp.asarray(basis), coords,
+    t_p = time.time()
+    sdf = microstructure_sdf(config, params, cpts, basis_dev, coords,
                              tiling, cap_items, chunk=max_batch)
     sdf_grid = np.asarray(sdf, dtype=np.float64).reshape(dims)
+    logger.debug("phase sdf+readback: %.3fs", time.time() - t_p)
 
+    t_p = time.time()
     verts, faces, _, _, topo = marching_tetrahedra(
-        sdf_grid, 0.0, spacing, return_topology=True)
+        sdf_grid, 0.0, spacing, return_topology=True, compute_normals=False)
     verts_phys = verts + np.asarray(origin)
+    logger.debug("phase marching: %.3fs", time.time() - t_p)
 
     tot_jac = None
     if compute_derivatives:
@@ -118,34 +144,47 @@ def create_mesh_microstructure_diff(tiling, config: DecoderConfig, params,
         f_lo, f_hi = f[u_lo], f[u_hi]
         denom = f_lo - f_hi
         denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
-        dt_dflo = -f_hi / denom ** 2                    # (V,)
-        dt_dfhi = f_lo / denom ** 2
+        # dt factors computed in f64 (ratio of near-cancelling values),
+        # then the big outer products assembled in f32: the jacobian
+        # feeds f64 FEM dot-products downstream, where f32 factors are
+        # plenty, and f64 assembly doubled the memory traffic of the
+        # (V,3,C,L) tensor (~400 MB at flagship scale)
+        dt_dflo = (-f_hi / denom ** 2).astype(np.float32)   # (V,)
+        dt_dfhi = (f_lo / denom ** 2).astype(np.float32)
 
         # one batched gradient pass over the 2V edge endpoints
+        t_p = time.time()
         pts_idx = np.concatenate([u_lo, u_hi])
         orig_pts = coords_np[pts_idx]
         lat_pts = (basis[pts_idx] @ np.asarray(spline.control_points)).astype(np.float32)
         g = np.asarray(_point_latent_grads(
             config, params, jnp.asarray(orig_pts), jnp.asarray(lat_pts),
             tiling, cap_items))                          # (2V, L)
+        logger.debug("phase latent-grads: %.3fs", time.time() - t_p)
+        t_p = time.time()
         g_lo, g_hi = g[:len(u_lo)], g[len(u_lo):]
-        B_lo, B_hi = basis[u_lo], basis[u_hi]            # (V, C)
+        B_lo, B_hi = basis[u_lo], basis[u_hi]            # (V, C) f32
 
-        # df_p/dθ_{k,l} = g_p[l] * B_p[k];  dv/dθ = (c_hi−c_lo) dt/dθ
-        dfdth_lo = g_lo[:, None, :] * B_lo[:, :, None]   # (V, C, L)
-        dfdth_hi = g_hi[:, None, :] * B_hi[:, :, None]
-        dt_dth = dt_dflo[:, None, None] * dfdth_lo + dt_dfhi[:, None, None] * dfdth_hi
+        # df_p/dθ_{k,l} = g_p[l] * B_p[k];  dv/dθ = (c_hi−c_lo) dt/dθ.
+        # Fold the scalar dt factors into g FIRST ((V,L) work) so only
+        # two (V,C,L)-sized products + one add touch the big tensor.
+        gl = dt_dflo[:, None] * g_lo                     # (V, L)
+        gh = dt_dfhi[:, None] * g_hi
+        dt_dth = gl[:, None, :] * B_lo[:, :, None]
+        dt_dth += gh[:, None, :] * B_hi[:, :, None]      # (V, C, L) f32
 
         def coords_of(flat):
             ny, nz = dims[1], dims[2]
             i = flat // (ny * nz)
             j = (flat // nz) % ny
             k = flat % nz
-            return np.stack([i, j, k], 1).astype(np.float64) * np.asarray(spacing)
+            return np.stack([i, j, k], 1).astype(np.float32) * np.asarray(
+                spacing, dtype=np.float32)
 
         edge_vec = coords_of(u_hi) - coords_of(u_lo)     # (V, 3)
         # d(returned verts)/dθ includes the (phys+1)/2 scaling ⇒ × 1/2
         tot_jac = 0.5 * edge_vec[:, :, None, None] * dt_dth[:, None, :, :]
+        logger.debug("phase jac-assembly: %.3fs", time.time() - t_p)
 
     logger.debug("Time for querying %d points and computing derivatives: %f",
                  coords_np.shape[0], time.time() - t_start)

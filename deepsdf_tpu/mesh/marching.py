@@ -72,7 +72,8 @@ for case, tris in enumerate(_CASE_TRIS):
 
 
 def marching_tetrahedra(volume: np.ndarray, level: float = 0.0,
-                        spacing=(1.0, 1.0, 1.0), return_topology: bool = False):
+                        spacing=(1.0, 1.0, 1.0), return_topology: bool = False,
+                        compute_normals: bool = True):
     """Extract the ``level`` isosurface of a (Nx,Ny,Nz) scalar grid.
 
     Returns (verts, faces, normals, values) matching the
@@ -156,18 +157,22 @@ def marching_tetrahedra(volume: np.ndarray, level: float = 0.0,
         return np.stack([i, j, k], axis=1).astype(np.float64)
 
     sp = np.asarray(spacing, dtype=np.float64)
-    verts = (coords(u_lo) * (1 - t[:, None]) + coords(u_hi) * t[:, None]) * sp
+    c_lo, c_hi = coords(u_lo), coords(u_hi)
+    verts = (c_lo * (1 - t[:, None]) + c_hi * t[:, None]) * sp
 
-    # orient: normal must point from inside centroid toward outside
-    tin = tet_inside[keep][tri_tet_idx]                        # (Ntri, 4)
-    tet_coords = coords(tet_pts[tri_tet_idx].ravel()).reshape(-1, 4, 3) * sp
-    w_in = tin / np.maximum(tin.sum(1, keepdims=True), 1)
-    w_out = (~tin) / np.maximum((~tin).sum(1, keepdims=True), 1)
-    cen_in = (tet_coords * w_in[..., None]).sum(1)
-    cen_out = (tet_coords * w_out[..., None]).sum(1)
+    # orient: normal must point toward +field. Every output vertex lies
+    # on an edge crossing inside→outside; the inside→outside direction
+    # of each crossing edge has a strictly positive component along the
+    # outward normal of the (planar) in-tet surface patch, so the sum
+    # over a face's three edge directions does too. This uses only the
+    # per-vertex endpoint coords already in hand — the previous
+    # inside/outside tet-centroid test converted 4 corner ids per
+    # triangle (~7M id→coord conversions at flagship scale, the single
+    # hottest block of the extraction).
+    d_out = (c_hi - c_lo) * np.sign(vb - va)[:, None]          # (V, 3)
     tv = verts[faces]
     n = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
-    flip = (n * (cen_out - cen_in)).sum(1) < 0
+    flip = (n * d_out[faces].sum(axis=1)).sum(1) < 0
     faces[flip] = faces[flip][:, [0, 2, 1]]
 
     # drop degenerate (zero-area) triangles from edge-touching levels
@@ -181,6 +186,14 @@ def marching_tetrahedra(volume: np.ndarray, level: float = 0.0,
     # boundary stencil, which index clamping reproduces exactly); a
     # full-volume np.gradient was ~3 s and 3 volume-sized temporaries
     # at 256³ for ~2·#verts needed values.
+    if not compute_normals:
+        # the differentiable path discards normals/values — skip the
+        # two central-difference passes over the edge endpoints
+        values = va * (1 - t) + vb * t + float(level)
+        if return_topology:
+            return verts, faces, None, values, {"u_lo": u_lo, "u_hi": u_hi, "t": t}
+        return verts, faces, None, values
+
     idx_lo = np.stack([u_lo // (ny * nz), (u_lo // nz) % ny, u_lo % nz], 1)
     idx_hi = np.stack([u_hi // (ny * nz), (u_hi // nz) % ny, u_hi % nz], 1)
     dims = (nx, ny, nz)
