@@ -109,7 +109,7 @@ def eval_sdf_grid_sparse(config: DecoderConfig, params, latent_vec, N: int,
                          *, coarse: int = 4, chunk: int = 32768,
                          fused: bool = False, margin: float = 2.0,
                          voxel_origin=(-1.0, -1.0, -1.0), voxel_size=None,
-                         return_info: bool = False):
+                         return_info: bool = False, checksum_only: bool = False):
     """Two-level dense-grid evaluation: decode only the surface band.
 
     The dense N³ pass (ref: deep_sdf/mesh.py:59-70 evaluates every
@@ -172,7 +172,18 @@ def eval_sdf_grid_sparse(config: DecoderConfig, params, latent_vec, N: int,
         flip = sgn[tuple(sl_lo)] != sgn[tuple(sl_hi)]
         mask[tuple(sl_lo)] |= flip
         mask[tuple(sl_hi)] |= flip
-    for a in range(3):  # 3³ box dilation
+    # 3³ box dilation. Measured on the flagship fixture: a 6-neighbor
+    # (face) dilation would cut active_frac 0.414 → 0.365 but breaks
+    # exact band equivalence — 0.02% of faces shift because crossing
+    # edges spanning an active→diagonal-inactive block boundary read a
+    # coarse-filled point where the local decoder gradient exceeds the
+    # margin's Lipschitz allowance. Box dilation keeps the sparse mesh
+    # BIT-IDENTICAL to dense (test_sparse_grid), which is worth the
+    # ~13% extra work; the active-fraction floor on surface-dense
+    # lattice tiles is geometric, not a mask artifact (struts are only
+    # 1–2 coarse blocks thick — interior |sdf| ≤ 0.021 everywhere vs a
+    # 0.041 band threshold at N=256).
+    for a in range(3):
         m = mask.copy()
         sl_lo = [slice(None)] * 3
         sl_hi = [slice(None)] * 3
@@ -204,9 +215,16 @@ def eval_sdf_grid_sparse(config: DecoderConfig, params, latent_vec, N: int,
     K = min(K, Nc ** 3)
     ids = np.zeros(K, dtype=np.int32)
     ids[:count] = active  # tail duplicates block 0: recomputed, same values
-    fine = np.asarray(_eval_active_blocks(
+    fine_dev = _eval_active_blocks(
         config, params, latent_vec, jnp.asarray(ids), Nc, c,
-        jnp.asarray(origin), jnp.float32(h), chunk, fused), np.float32)
+        jnp.asarray(origin), jnp.float32(h), chunk, fused)
+    if checksum_only:
+        # benchmarking aid, mirrors grid_dense_256_device_s: sync via a
+        # single scalar read instead of the full fine-band host
+        # readback, isolating device compute from transfer cost (which
+        # through this box's network tunnel dwarfs it)
+        return _ret(float(jnp.sum(fine_dev)) + float(vals_c.sum()))
+    fine = np.asarray(fine_dev, np.float32)
 
     bi, bj, bk = active // (Nc * Nc), (active // Nc) % Nc, active % Nc
     base[bi, :, bj, :, bk, :] = fine[:count].reshape(count, c, c, c)

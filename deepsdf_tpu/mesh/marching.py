@@ -169,10 +169,23 @@ def marching_tetrahedra(volume: np.ndarray, level: float = 0.0,
     # inside/outside tet-centroid test converted 4 corner ids per
     # triangle (~7M id→coord conversions at flagship scale, the single
     # hottest block of the extraction).
+    #
+    # The test normal is computed from the EXACT t=1/2 midpoint
+    # triangle, not the interpolated one: midpoints are integer-exact,
+    # so the winding decision is a pure function of the crossing-edge
+    # topology. The interpolated triangle of a sliver configuration has
+    # a ULP-unstable normal, and the sparse two-level grid path
+    # (grid_eval.eval_sdf_grid_sparse) reproduces the dense field only
+    # to ~1 ULP — a position-dependent decision made those sliver
+    # windings differ between sparse and dense extractions. The
+    # midpoint triangle is isotopic to the interpolated one inside the
+    # tet, so the decided orientation agrees for every non-degenerate
+    # face.
     d_out = (c_hi - c_lo) * np.sign(vb - va)[:, None]          # (V, 3)
-    tv = verts[faces]
-    n = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
-    flip = (n * d_out[faces].sum(axis=1)).sum(1) < 0
+    mid = (c_lo + c_hi) * (0.5 * sp)
+    tm = mid[faces]
+    n_mid = np.cross(tm[:, 1] - tm[:, 0], tm[:, 2] - tm[:, 0])
+    flip = (n_mid * d_out[faces].sum(axis=1)).sum(1) < 0
     faces[flip] = faces[flip][:, [0, 2, 1]]
 
     # drop degenerate (zero-area) triangles from edge-touching levels

@@ -78,16 +78,22 @@ def main():
                              jnp.float32(101.0), cfg)
         return loss
     # state rebuild happens on host each rep; time only the jitted call by
-    # pre-building states
-    states = [init_train_state(params, latents) for _ in range(11)]
+    # pre-building states. Each state gets its OWN buffer copies:
+    # train_step donates arg 0, and donation of a buffer shared by all
+    # pre-built states invalidates every one of them (the round-3 run
+    # died here with TPU InvalidArgument on the first value read).
+    states = [init_train_state(jax.tree.map(jnp.copy, params),
+                               jnp.copy(latents)) for _ in range(11)]
     it = iter(states)
     t_full = timeit(lambda: train_step(next(it), pools, scene_idx, key, lr0,
                                        lr1, jnp.float32(101.0), cfg)[1], read)
 
-    # 2. on-device balanced sampling alone
-    samp = jax.jit(lambda k: sample_scenes_auto(pools, scene_idx, k,
-                                                cfg.samples_per_scene))
-    t_samp = timeit(lambda: samp(key), read)
+    # 2. on-device balanced sampling alone (pools passed as arguments —
+    # closure capture bakes the 320 MB pools into the HLO as literals,
+    # which the tunnel's remote-compile endpoint rejects with HTTP 413)
+    samp = jax.jit(lambda pl, k: sample_scenes_auto(pl, scene_idx, k,
+                                                    cfg.samples_per_scene))
+    t_samp = timeit(lambda: samp(pools, key), read)
 
     # 3. fused kernel fwd+bwd alone (pre-packed weights, fixed inputs)
     spec = FusedMLPSpec.plan(config)
