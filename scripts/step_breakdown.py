@@ -5,9 +5,16 @@ Round-1 hardware numbers (CLAUDE.md): full train step ≈19.7 ms at the
 flagship recipe (160k pts) of which fwd+bwd kernel ≈16.3 ms — leaving
 ~3.4 ms unattributed between on-device sampling, weight-norm
 canonicalization/packing, the clamped-L1 epilogue, and the two-group
-Adam update. This script times each stage in isolation with hard
-value-read syncs (CLAUDE.md: block_until_ready under-reports through
-the axon tunnel).
+Adam update.
+
+Measurement method: every per-call timing through the axon tunnel
+carries a volatile ~25-30 ms network RTT, which buries millisecond
+stages (a first attempt measured every stage at ≈28 ms). Instead each
+stage is wrapped in a K-iteration ``lax.scan`` whose carry serializes
+the iterations and whose per-iteration inputs vary (so XLA cannot
+hoist loop-invariant work), timed at two K values; the SLOPE
+(t_K2 − t_K1)/(K2 − K1) is the stage's true device time with the RTT
+cancelled exactly.
 
 Run on the real chip:  python scripts/step_breakdown.py
 """
@@ -24,15 +31,25 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, sync, reps=10):
-    """Median wall time of fn(); sync(out) must force a host value read."""
-    sync(fn())  # compile + warm
-    ts = []
+def slope_time(make_scan, k1=2, k2=10, reps=5):
+    """True per-iteration device time of a scanned stage.
+
+    ``make_scan(K)`` returns a callable running K serialized iterations
+    on device whose output read forces a sync. Returns the median slope
+    over ``reps`` paired timings."""
+    f1, f2 = make_scan(k1), make_scan(k2)
+    float(jnp.asarray(f1()).ravel()[0])  # compile + warm
+    float(jnp.asarray(f2()).ravel()[0])
+    slopes = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        sync(fn())
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+        float(jnp.asarray(f1()).ravel()[0])
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(jnp.asarray(f2()).ravel()[0])
+        t2 = time.perf_counter() - t0
+        slopes.append((t2 - t1) / (k2 - k1))
+    return float(np.median(slopes))
 
 
 def main():
@@ -65,77 +82,130 @@ def main():
     latents = 0.01 * jax.random.normal(jax.random.PRNGKey(1), (num_scenes, 2))
 
     scene_idx = jnp.arange(10, dtype=jnp.int32)
-    key = jax.random.key(3, impl="rbg")
     lr0, lr1 = jnp.float32(5e-4), jnp.float32(1e-3)
     n_pts = cfg.scenes_per_batch * cfg.samples_per_scene
 
-    read = lambda out: float(jnp.asarray(out).ravel()[0])
+    # 1. full production step — scan of train_step with state carried
+    def make_full(K):
+        @jax.jit
+        def run(state, pl):
+            def body(st, i):
+                st2, loss = train_step(
+                    st, pl, scene_idx, jax.random.key(i, impl="rbg"),
+                    lr0, lr1, jnp.float32(101.0) + i, cfg)
+                return st2, loss
+            _, losses = jax.lax.scan(body, state, jnp.arange(K))
+            return losses.sum()
+        st0 = init_train_state(jax.tree.map(jnp.copy, params), jnp.copy(latents))
+        return lambda: run(st0, pools)
 
-    # 1. full production step (donates state → rebuild per rep)
-    def full_step():
-        st = init_train_state(params, latents)
-        _, loss = train_step(st, pools, scene_idx, key, lr0, lr1,
-                             jnp.float32(101.0), cfg)
-        return loss
-    # state rebuild happens on host each rep; time only the jitted call by
-    # pre-building states. Each state gets its OWN buffer copies:
-    # train_step donates arg 0, and donation of a buffer shared by all
-    # pre-built states invalidates every one of them (the round-3 run
-    # died here with TPU InvalidArgument on the first value read).
-    states = [init_train_state(jax.tree.map(jnp.copy, params),
-                               jnp.copy(latents)) for _ in range(11)]
-    it = iter(states)
-    t_full = timeit(lambda: train_step(next(it), pools, scene_idx, key, lr0,
-                                       lr1, jnp.float32(101.0), cfg)[1], read)
+    t_full = slope_time(make_full)
 
-    # 2. on-device balanced sampling alone (pools passed as arguments —
-    # closure capture bakes the 320 MB pools into the HLO as literals,
-    # which the tunnel's remote-compile endpoint rejects with HTTP 413)
-    samp = jax.jit(lambda pl, k: sample_scenes_auto(pl, scene_idx, k,
-                                                    cfg.samples_per_scene))
-    t_samp = timeit(lambda: samp(pools, key), read)
+    # 2. on-device balanced sampling alone (key varies per iteration;
+    # checksum carried so iterations serialize)
+    def make_samp(K):
+        @jax.jit
+        def run(pl):
+            def body(acc, i):
+                out = sample_scenes_auto(pl, scene_idx,
+                                         jax.random.key(i, impl="rbg"),
+                                         cfg.samples_per_scene)
+                s = sum(jnp.sum(o.astype(jnp.float32)) for o in
+                        jax.tree_util.tree_leaves(out))
+                return acc + s, ()
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(K))
+            return acc
+        return lambda: run(pools)
 
-    # 3. fused kernel fwd+bwd alone (pre-packed weights, fixed inputs)
+    t_samp = slope_time(make_samp)
+
+    # 3. fused kernel fwd and fwd+bwd alone (pre-packed weights; the
+    # input is perturbed by the previous output so iterations serialize)
     spec = FusedMLPSpec.plan(config)
     A, B, bias = pack_params(config, params, spec)
-    x = jnp.asarray(rng.uniform(-1, 1, (n_pts, 5)).astype(np.float32))
+    x0 = jnp.asarray(rng.uniform(-1, 1, (n_pts, 5)).astype(np.float32))
 
-    fwd = jax.jit(lambda x: fused_mlp(spec, True, x, A, B, bias, jnp.int32(7)))
-    t_fwd = timeit(lambda: fwd(x), read)
+    def make_fwd(K):
+        @jax.jit
+        def run(x):
+            def body(xc, i):
+                out = fused_mlp(spec, True, xc, A, B, bias, i)
+                return xc + 1e-12 * out[:, None], out.sum()
+            _, sums = jax.lax.scan(body, x, jnp.arange(K, dtype=jnp.int32))
+            return sums.sum()
+        return lambda: run(x0)
 
-    g = jax.jit(jax.grad(lambda A, B, bias, x: jnp.abs(
-        fused_mlp(spec, True, x, A, B, bias, jnp.int32(7))).sum() / n_pts,
-        argnums=(0, 1, 2, 3)))
-    t_fwdbwd = timeit(lambda: g(A, B, bias, x)[3], read)
+    t_fwd = slope_time(make_fwd)
 
-    # 4. weight-norm canonicalization + packing alone (runs inside every step)
-    packf = jax.jit(lambda p: pack_params(config, p, spec))
-    t_pack = timeit(lambda: packf(params)[0], read)
+    def loss_fn(A, B, bias, x, i):
+        return jnp.abs(fused_mlp(spec, True, x, A, B, bias, i)).sum() / n_pts
 
-    # 5. two-group Adam update alone (same pytree shapes)
+    grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2, 3))
+
+    def make_fwdbwd(K):
+        @jax.jit
+        def run(x):
+            def body(xc, i):
+                gA, gB, gb, gx = grad_fn(A, B, bias, xc, i)
+                return xc + 1e-6 * gx, gA[0, 0, 0].astype(jnp.float32)
+            _, outs = jax.lax.scan(body, x, jnp.arange(K, dtype=jnp.int32))
+            return outs.sum()
+        return lambda: run(x0)
+
+    t_fwdbwd = slope_time(make_fwdbwd)
+
+    # 4. weight-norm canonicalization + packing (params perturbed per
+    # iteration so the pack isn't hoisted out of the scan)
+    def make_pack(K):
+        @jax.jit
+        def run(p):
+            def body(pc, i):
+                Ap, Bp, bp = pack_params(config, pc, spec)
+                pc2 = jax.tree.map(lambda a: a * (1 + 1e-12), pc)
+                out = (Ap[0, 0, 0].astype(jnp.float32)
+                       + Bp[0, 0, 0].astype(jnp.float32) + bp[0, 0])
+                return pc2, out
+            _, outs = jax.lax.scan(body, p, jnp.arange(K))
+            return outs.sum()
+        return lambda: run(params)
+
+    t_pack = slope_time(make_pack)
+
+    # 5. two-group Adam update alone (grads vary per iteration)
     import optax
     adam = optax.scale_by_adam()
     opt_p = adam.init(params)
     opt_l = adam.init(latents)
 
-    @jax.jit
-    def adam_only(p, l, op, ol):
-        gp = jax.tree.map(jnp.ones_like, p)
-        gl = jnp.ones_like(l)
-        up, op2 = adam.update(gp, op, p)
-        p2 = optax.apply_updates(p, jax.tree.map(lambda u: -lr0 * u, up))
-        ul, ol2 = adam.update(gl, ol, l)
-        return p2, l - lr1 * ul, op2, ol2
-    t_adam = timeit(lambda: adam_only(params, latents, opt_p, opt_l)[1], read)
+    def make_adam(K):
+        @jax.jit
+        def run(p, l, op, ol):
+            def body(carry, i):
+                p, l, op, ol = carry
+                gp = jax.tree.map(lambda a: jnp.full_like(a, 1e-9) * (i + 1), p)
+                gl = jnp.full_like(l, 1e-9) * (i + 1)
+                up, op2 = adam.update(gp, op, p)
+                p2 = optax.apply_updates(p, jax.tree.map(lambda u: -lr0 * u, up))
+                ul, ol2 = adam.update(gl, ol, l)
+                l2 = l - lr1 * ul
+                return (p2, l2, op2, ol2), l2[0, 0]
+            _, outs = jax.lax.scan(body, (p, l, op, ol),
+                                   jnp.arange(K, dtype=jnp.float32))
+            return outs.sum()
+        return lambda: run(params, latents, opt_p, opt_l)
 
-    print(f"\nper-step timings at {n_pts} pts (median of 10):")
+    t_adam = slope_time(make_adam)
+
+    other = t_full - t_samp - t_fwdbwd - t_pack - t_adam
+    print(f"\nper-step timings at {n_pts} pts (scan-slope, RTT-free):")
     print(f"  full train_step        {t_full*1e3:8.2f} ms")
     print(f"  sampling alone         {t_samp*1e3:8.2f} ms")
     print(f"  kernel fwd (train)     {t_fwd*1e3:8.2f} ms")
     print(f"  kernel fwd+bwd         {t_fwdbwd*1e3:8.2f} ms")
     print(f"  weight-norm pack       {t_pack*1e3:8.2f} ms")
     print(f"  adam update            {t_adam*1e3:8.2f} ms")
-    print(f"  unattributed           {(t_full-t_samp-t_fwdbwd-t_pack-t_adam)*1e3:8.2f} ms")
+    print(f"  loss epilogue + latent gather/scatter + grad clip (residual) "
+          f"{other*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
