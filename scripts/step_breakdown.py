@@ -129,7 +129,7 @@ def main():
         @jax.jit
         def run(x):
             def body(xc, i):
-                out = fused_mlp(spec, True, xc, A, B, bias, i)
+                out = fused_mlp(spec, True, xc, A, B, bias, i).reshape(-1)
                 return xc + 1e-12 * out[:, None], out.sum()
             _, sums = jax.lax.scan(body, x, jnp.arange(K, dtype=jnp.int32))
             return sums.sum()
