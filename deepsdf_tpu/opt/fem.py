@@ -345,7 +345,12 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
     _solve_scipy._solve_count[key] = _solve_scipy._solve_count.get(key, 0) + 1
     if start > 0 and _solve_scipy._solve_count[key] % 8 == 0:
         start = 0
-    for li in range(start, len(levels)):
+    # sticky level len(levels) == the direct solver: during a
+    # mechanism-adjacent phase both ILU factorizations fail every
+    # iteration (2 setups + 2x50 wasted BiCGStab iters, ~5-10 min on
+    # this mesh family) before the direct level rescues the solve —
+    # skip straight there until the periodic retry above resets.
+    for li in range(min(start, len(levels)), len(levels)):
         drop, ff = levels[li]
         t0 = _time.time()
         try:
@@ -404,6 +409,7 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
                 best = (rr, cand)
             if rr <= max(accept_tol, 1e-8):
                 x = cand
+                _solve_scipy._sticky_level[key] = len(levels)
         except Exception:
             logger.exception("direct solve failed")
 
