@@ -387,15 +387,17 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
         except Exception:
             logger.exception("ILU(%g) setup/solve failed", drop)
 
-    if x is None and Aff.shape[0] <= 700_000:
+    if x is None and Aff.shape[0] <= 350_000:
         # Direct factorization as the next level: localized floppy
         # modes (λ_min ~1e-5, thin struts near mechanism) defeat every
         # Krylov/AMG combination but are still well inside float64 for
         # a pivoted LU — this is what lets an optimization survive a
         # near-mechanism iterate instead of feeding ~1e7 garbage
         # compliance into MMA (round_cross_more_knot_vecs iter 10).
-        # Gated by ndof: fill-in at flagship scale (555k dof) fits this
-        # box, far beyond it may not.
+        # Gated by ndof where the factorization stays minutes-scale on
+        # this box: at 457k dofs (round_cross family) a single splu ran
+        # >2 h under contention — bigger systems rely on the MMA
+        # bisect-retry (mma.py) + AMG instead.
         from scipy.sparse.linalg import splu
         try:
             t0 = _time.time()
@@ -421,7 +423,7 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
         n_it = [0]
         t0 = _time.time()
         x0_amg = best[1] if best is not None else x0f
-        x, info = cg(Aff, b, rtol=rel_tol, maxiter=min(max_iter, 2000),
+        x, info = cg(Aff, b, rtol=rel_tol, maxiter=min(max_iter, 800),
                      M=Minv, x0=x0_amg,
                      callback=lambda xk: n_it.__setitem__(0, n_it[0] + 1))
         rr = _relres(x)

@@ -306,9 +306,34 @@ class MMA:
                 upp = np.asarray(state["upp"], np.float64).reshape(-1, 1)
             C0 = float(state["C0"])
             self.logger.info("Resuming MMA from iteration %d", loop)
+        damp_count = 0
         while True:
             loop += 1
-            C, dC = objective(x)
+            try:
+                C, dC = objective(x)
+            except Exception as e:
+                from .fem import FEMSolveDiverged
+                if not isinstance(e, FEMSolveDiverged):
+                    raise
+                # Mechanism-adjacent step: the candidate design pinched
+                # a strut into a (near-)mechanism no solver level can
+                # handle economically. Bisect back toward the last
+                # ACCEPTED design and retry — by continuity a small
+                # enough step from a solvable design stays solvable.
+                # Four bisections shrink the step 16x; beyond that the
+                # accepted design itself sits on the mechanism boundary
+                # and the run ends gracefully (driver catches).
+                if damp_count >= 4 or loop <= 1:
+                    raise
+                damp_count += 1
+                loop -= 1
+                self.logger.warning(
+                    "FEM diverged at the proposed step — bisecting back "
+                    "toward the last accepted design (retry %d/4)",
+                    damp_count)
+                x = 0.5 * (x + xold1)
+                continue
+            damp_count = 0
             Vol, dVol = constraint(x)
             if C0 is None:
                 C0 = C
