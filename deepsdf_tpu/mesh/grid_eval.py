@@ -129,8 +129,11 @@ def eval_sdf_grid_sparse(config: DecoderConfig, params, latent_vec, N: int,
     Returns a flat (N³,) float32 numpy array, same layout as
     ``eval_sdf_grid`` (decoded values match the dense pass to f32
     round-off — different XLA batch groupings reorder reductions by
-    ~1 ULP). Typical active fraction at N=256 is 5–25%, a 4–10× FLOP
-    cut; below N≈192 the band covers most blocks and the function
+    ~1 ULP). Measured active fraction at N=256 is geometry-bound:
+    0.414 on the surface-dense flagship lattice (struts only 1–2
+    coarse blocks thick → ~1.3× end-to-end), lower on thick plain
+    shapes whose interior plateaus past the band threshold; below
+    N≈192 the band covers most blocks and the function
     falls back to dense. Requires a single (L,) latent and
     N % coarse == 0; ``margin`` times the half-diagonal must stay
     below the decoder's far-field plateau (the training
