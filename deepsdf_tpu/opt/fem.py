@@ -376,7 +376,7 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
             logger.info("ILU(%g,%g)-BiCGStab: %d iters, relres %.2e "
                         "(setup %.1fs, solve %.1fs)", drop, ff, mon.n, rr,
                         t_setup, _time.time() - t0)
-            if best is None or rr < best[0]:
+            if np.isfinite(rr) and (best is None or rr < best[0]):
                 best = (rr, cand)
             if rr <= accept_tol:
                 x = cand
@@ -407,7 +407,7 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
             rr = _relres(cand)
             logger.info("SuperLU direct: relres %.2e (%.1fs)", rr,
                         _time.time() - t0)
-            if best is None or rr < best[0]:
+            if np.isfinite(rr) and (best is None or rr < best[0]):
                 best = (rr, cand)
             if rr <= max(accept_tol, 1e-8):
                 x = cand
@@ -432,11 +432,11 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
                            "residual %.3e", info, rr)
         logger.info("SA-AMG-CG: %d iters, relres %.2e (setup %.1fs, "
                     "solve %.1fs)", n_it[0], rr, t_setup, _time.time() - t0)
-        if best is not None and best[0] < rr:
+        if best is not None and (not np.isfinite(rr) or best[0] < rr):
             x = best[1]
             logger.info("keeping best ILU iterate (relres %.2e)", best[0])
     final_rr = _relres(x)
-    if final_rr > 1e-3:
+    if not (final_rr <= 1e-3):  # NaN-safe: nan > t is False, nan <= t too
         # every level (ILU ladder, direct LU, AMG) failed: the system
         # is mechanism-singular, not merely ill-conditioned. Returning
         # this x would hand the optimizer a meaningless compliance.
