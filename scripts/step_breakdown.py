@@ -147,9 +147,15 @@ def main():
         def run(x):
             def body(xc, i):
                 gA, gB, gb, gx = grad_fn(A, B, bias, xc, i)
-                return xc + 1e-6 * gx, gA[0, 0, 0].astype(jnp.float32)
-            _, outs = jax.lax.scan(body, x, jnp.arange(K, dtype=jnp.int32))
-            return outs.sum()
+                # keep EVERY cotangent live: gA[0] is the structurally
+                # zero unused slot — summing only it let XLA dead-code-
+                # eliminate the entire loop body (measured slope ~0)
+                live = (gA.astype(jnp.float32).sum()
+                        + gB.astype(jnp.float32).sum() + gb.sum()
+                        + gx.sum())
+                return xc + 1e-6 * gx, live
+            xf, outs = jax.lax.scan(body, x, jnp.arange(K, dtype=jnp.int32))
+            return outs.sum() + xf[0, 0]
         return lambda: run(x0)
 
     t_fwdbwd = slope_time(make_fwdbwd)
