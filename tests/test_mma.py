@@ -1,6 +1,7 @@
 """MMA optimizer tests on analytic constrained problems."""
 
 import numpy as np
+import pytest
 
 from deepsdf_tpu.opt.mma import MMA, mmasub
 
@@ -46,3 +47,55 @@ def test_mmasub_respects_move_limit():
     xnew = out[0]
     assert (xnew <= 0.1 + 1e-9).all() and (xnew >= -0.1 - 1e-9).all()
     assert (xnew > 0.05).all()  # moved toward the bound
+
+
+def test_bisect_retry_on_fem_divergence():
+    """A step into the 'mechanism region' (x > 0.7 here) raises
+    FEMSolveDiverged; MMA must bisect back toward the last accepted
+    design and keep optimizing instead of dying (round-4 driver
+    contract: mechanism-adjacent steps cost retries, not the run)."""
+    from deepsdf_tpu.opt.fem import FEMSolveDiverged
+
+    calls = {"diverged": 0}
+
+    calls["n"] = 0
+
+    def objective(x):
+        calls["n"] += 1
+        if calls["n"] == 3:  # one transient failure mid-run
+            calls["diverged"] += 1
+            raise FEMSolveDiverged("transient near-mechanism")
+        x = x.reshape(-1)
+        return float(np.sum((x - 0.5) ** 2) + 1.0), 2 * (x - 0.5)
+
+    def constraint(x):
+        return -1.0, np.zeros(x.size)
+
+    x = MMA().minimize(np.zeros(2), objective, constraint,
+                       [(-1.0, 1.0)] * 2, {"deltaIt": 1e-9, "maxIt": 80})
+    x = np.asarray(x).reshape(-1)
+    assert calls["diverged"] == 1                 # the failure happened
+    np.testing.assert_allclose(x, [0.5] * 2, atol=1e-3)   # and recovered
+
+
+def test_bisect_retry_exhaustion_reraises():
+    """If even heavily damped steps diverge (the accepted design sits
+    on the mechanism boundary), the exception must propagate so the
+    driver can end the run gracefully."""
+    from deepsdf_tpu.opt.fem import FEMSolveDiverged
+
+    first = {"done": False}
+
+    def objective(x):
+        if not first["done"]:
+            first["done"] = True
+            x = x.reshape(-1)
+            return float(np.sum((x - 1.0) ** 2) + 1.0), 2 * (x - 1.0)
+        raise FEMSolveDiverged("boundary")
+
+    def constraint(x):
+        return -1.0, np.zeros(x.size)
+
+    with pytest.raises(FEMSolveDiverged):
+        MMA().minimize(np.zeros(2), objective, constraint,
+                       [(-1.0, 1.0)] * 2, {"deltaIt": 1e-9, "maxIt": 60})
