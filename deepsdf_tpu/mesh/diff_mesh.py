@@ -152,15 +152,27 @@ def create_mesh_microstructure_diff(tiling, config: DecoderConfig, params,
         dt_dflo = (-f_hi / denom ** 2).astype(np.float32)   # (V,)
         dt_dfhi = (f_lo / denom ** 2).astype(np.float32)
 
-        # one batched gradient pass over the 2V edge endpoints
+        # one batched gradient pass over the UNIQUE edge endpoints: each
+        # surface grid point borders several crossing edges (measured
+        # ~3.8 redundancy), so dedupe before the device pass and gather
+        # after. Pad to a 64k bucket so consecutive optimizer iterations
+        # (whose vertex counts drift) reuse the compiled program.
         t_p = time.time()
         pts_idx = np.concatenate([u_lo, u_hi])
-        orig_pts = coords_np[pts_idx]
-        lat_pts = (basis[pts_idx] @ np.asarray(spline.control_points)).astype(np.float32)
-        g = np.asarray(_point_latent_grads(
+        uniq, inv = np.unique(pts_idx, return_inverse=True)
+        n_uniq = len(uniq)
+        bucket = 65536
+        n_pad = max(bucket, ((n_uniq + bucket - 1) // bucket) * bucket)
+        uniq_pad = np.concatenate(
+            [uniq, np.broadcast_to(uniq[:1], (n_pad - n_uniq,))])
+        orig_pts = coords_np[uniq_pad]
+        lat_pts = (basis[uniq_pad] @ np.asarray(spline.control_points)).astype(np.float32)
+        g_uniq = np.asarray(_point_latent_grads(
             config, params, jnp.asarray(orig_pts), jnp.asarray(lat_pts),
-            tiling, cap_items))                          # (2V, L)
-        logger.debug("phase latent-grads: %.3fs", time.time() - t_p)
+            tiling, cap_items))[:n_uniq]                 # (U, L)
+        g = g_uniq[inv]                                  # (2V, L)
+        logger.debug("phase latent-grads: %.3fs (unique %d of %d)",
+                     time.time() - t_p, n_uniq, len(pts_idx))
         t_p = time.time()
         g_lo, g_hi = g[:len(u_lo)], g[len(u_lo):]
         B_lo, B_hi = basis[u_lo], basis[u_hi]            # (V, C) f32
@@ -168,10 +180,15 @@ def create_mesh_microstructure_diff(tiling, config: DecoderConfig, params,
         # df_p/dθ_{k,l} = g_p[l] * B_p[k];  dv/dθ = (c_hi−c_lo) dt/dθ.
         # Fold the scalar dt factors into g FIRST ((V,L) work) so only
         # two (V,C,L)-sized products + one add touch the big tensor.
-        gl = dt_dflo[:, None] * g_lo                     # (V, L)
-        gh = dt_dfhi[:, None] * g_hi
-        dt_dth = gl[:, None, :] * B_lo[:, :, None]
-        dt_dth += gh[:, None, :] * B_hi[:, :, None]      # (V, C, L) f32
+        # The big broadcasts run through torch's multithreaded CPU
+        # einsum — ~1.8× numpy on this memory-bound assembly.
+        import torch
+
+        gl = torch.from_numpy(dt_dflo[:, None] * g_lo)   # (V, L)
+        gh = torch.from_numpy(dt_dfhi[:, None] * g_hi)
+        tB_lo, tB_hi = torch.from_numpy(B_lo), torch.from_numpy(B_hi)
+        dt_dth = (torch.einsum("vl,vc->vcl", gl, tB_lo)
+                  + torch.einsum("vl,vc->vcl", gh, tB_hi))  # (V, C, L) f32
 
         def coords_of(flat):
             ny, nz = dims[1], dims[2]
@@ -183,7 +200,9 @@ def create_mesh_microstructure_diff(tiling, config: DecoderConfig, params,
 
         edge_vec = coords_of(u_hi) - coords_of(u_lo)     # (V, 3)
         # d(returned verts)/dθ includes the (phys+1)/2 scaling ⇒ × 1/2
-        tot_jac = 0.5 * edge_vec[:, :, None, None] * dt_dth[:, None, :, :]
+        tot_jac = torch.einsum(
+            "vx,vcl->vxcl", torch.from_numpy(0.5 * edge_vec),
+            dt_dth).numpy()                              # (V, 3, C, L)
         logger.debug("phase jac-assembly: %.3fs", time.time() - t_p)
 
     logger.debug("Time for querying %d points and computing derivatives: %f",
