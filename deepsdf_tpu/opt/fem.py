@@ -263,7 +263,44 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
 
     referenced = np.zeros(V, bool)
     referenced[np.asarray(tets).reshape(-1)] = True
-    keep_v = referenced & ~ess_mask
+
+    # ---- island removal: a design step can pinch a strut to zero so a
+    # piece of the structure detaches outright. A detached component
+    # carries rigid-body modes — the assembled system is EXACTLY
+    # singular and no solver level can produce a meaningful iterate
+    # (observed: round_cross_more_knot_vecs iter 27+, relres pinned at
+    # ~1 across the whole ladder). Graph-partition the tet mesh and
+    # keep only components anchored to the essential boundary: dropped
+    # (unloaded) debris gets u=0 and contributes nothing to f·u, so
+    # the anchored structure's compliance stays exact. Load on a
+    # detached component means infinite physical compliance — that IS
+    # a mechanism, raise it as such.
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    t_arr = np.asarray(tets)
+    gi = np.concatenate([t_arr[:, 0], t_arr[:, 0], t_arr[:, 0]])
+    gj = np.concatenate([t_arr[:, 1], t_arr[:, 2], t_arr[:, 3]])
+    adj = csr_matrix((np.ones(len(gi), np.int8), (gi, gj)), shape=(V, V))
+    n_comp, labels = connected_components(adj + adj.T, directed=False)
+    anchored_labels = np.unique(labels[ess_mask & referenced])
+    anchored = np.isin(labels, anchored_labels) & referenced
+    n_drop = int(referenced.sum() - anchored.sum())
+    if n_drop:
+        loose = referenced & ~anchored
+        f_loose = float(np.abs(force[loose]).sum())
+        if f_loose > 0:
+            raise FEMSolveDiverged(
+                f"structure detached: {n_drop} vertices in components "
+                f"with no essential anchoring carry {f_loose:.3g} of "
+                "applied load — the loaded part is a free body (infinite "
+                "compliance)")
+        logger.warning(
+            "island removal: dropping %d unanchored vertices in %d loose "
+            "component(s) (unloaded debris; u=0 there)", n_drop,
+            len(np.unique(labels[loose])))
+
+    keep_v = anchored & ~ess_mask
     keep = np.repeat(keep_v, 3)
     b = force.ravel()[keep]
     Aff = A[keep][:, keep]

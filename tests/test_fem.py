@@ -183,3 +183,35 @@ def test_mechanism_singular_raises():
     solver.set_surface_load(tip_faces, np.array([0.0, 0.0, -0.01]))
     with pytest.raises(FEMSolveDiverged):
         solver.solve(method="scipy", rel_tol=1e-10)
+
+
+def test_unloaded_island_removed_and_solved():
+    """An UNLOADED component disconnected from the fixed plane is
+    debris, not a mechanism: island removal (fem.py round 4) drops its
+    dofs (u=0 there) and the anchored structure solves to the same
+    displacements as if the debris never existed."""
+    L, h = 1.0, 0.25
+    a = box_mesh(9, 4, 4, L, h)
+    mesh_ref, solver_ref = _beam_problem(nx=9, ny=4, nz=4)  # anchored box alone
+
+    b = box_mesh(9, 4, 4, L, h)
+    off = b.vertices.copy()
+    off[:, 2] += 1.0  # float the second box above the first, no load
+    verts = np.vstack([a.vertices, off])
+    tets = np.vstack([a.tets, b.tets + len(a.vertices)])
+    solver = ElasticitySolver(verts, tets, lam=0.0, mu=105.0)
+    solver.set_essential_vertices(
+        (verts[:, 0] < 1e-9) & (verts[:, 2] < 0.5))  # fix box A only
+    bf_a = a.boundary_faces()
+    centers = verts[bf_a].mean(axis=1)
+    tip_faces = bf_a[centers[:, 0] > L - 1e-9]  # load the ANCHORED box
+    solver.set_surface_load(tip_faces, np.array([0.0, 0.0, -0.01]))
+    solver.solve(method="scipy", rel_tol=1e-10)
+
+    u = np.asarray(solver.u)
+    nA = len(a.vertices)
+    assert np.abs(u[nA:]).max() == 0.0  # debris pinned at zero
+    u_ref = np.asarray(solver_ref.u)
+    denom = np.abs(u_ref).max()
+    assert np.abs(u[:nA] - u_ref).max() / denom < 1e-6
+    assert solver.compliance() > 0
