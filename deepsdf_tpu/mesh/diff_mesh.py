@@ -157,6 +157,19 @@ def create_mesh_microstructure_diff(tiling, config: DecoderConfig, params,
         # ~3.8 redundancy), so dedupe before the device pass and gather
         # after. Pad to a 64k bucket so consecutive optimizer iterations
         # (whose vertex counts drift) reuse the compiled program.
+        if len(u_lo) == 0:
+            # degenerate all-solid/all-void design: no crossing edges,
+            # empty jacobian (the broadcast-padding below would raise)
+            n_ctrl, n_lat = np.asarray(spline.control_points).shape
+            tot_jac = np.zeros((0, 3, n_ctrl, n_lat), dtype=np.float32)
+            verts01 = (verts_phys + 1.0) / 2.0
+            if return_extras:
+                extras = {"field": np.asarray(sdf, dtype=np.float64),
+                          "dims": dims, "spacing": spacing,
+                          "origin": origin, "topo": topo}
+                return verts01, faces, tot_jac, extras
+            return verts01, faces, tot_jac
+
         t_p = time.time()
         pts_idx = np.concatenate([u_lo, u_hi])
         uniq, inv = np.unique(pts_idx, return_inverse=True)

@@ -281,7 +281,10 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
     t_arr = np.asarray(tets)
     gi = np.concatenate([t_arr[:, 0], t_arr[:, 0], t_arr[:, 0]])
     gj = np.concatenate([t_arr[:, 1], t_arr[:, 2], t_arr[:, 3]])
-    adj = csr_matrix((np.ones(len(gi), np.int8), (gi, gj)), shape=(V, V))
+    # int32 data: COO construction sums duplicate slot-pairs; int8
+    # could in principle wrap to 0 mod 256 and silently delete an edge
+    # (only the sparsity pattern matters here)
+    adj = csr_matrix((np.ones(len(gi), np.int32), (gi, gj)), shape=(V, V))
     n_comp, labels = connected_components(adj + adj.T, directed=False)
     anchored_labels = np.unique(labels[ess_mask & referenced])
     anchored = np.isin(labels, anchored_labels) & referenced

@@ -286,10 +286,13 @@ class MMA:
         xold2 = x0.copy()
         low = []
         upp = []
-        a0_MMA = 1
-        a_MMA = np.zeros((m, 1))
-        c_MMA = 10000 * np.ones((m, 1))
-        d_MMA = np.zeros((m, 1))
+        # Svanberg sub-problem coefficients: a0 on the objective, and
+        # per-constraint (a, c, d) — linear weight, slack penalty,
+        # quadratic slack weight
+        obj_weight = 1
+        lin_weight = np.zeros((m, 1))
+        slack_penalty = 10000 * np.ones((m, 1))
+        slack_quad = np.zeros((m, 1))
 
         loop = 0
         C0 = None
@@ -348,7 +351,7 @@ class MMA:
             xmma, *_, low, upp = mmasub(
                 m, n, loop if np.size(low) or loop <= 2 else 2,
                 x, xmin, xmax, xold1, xold2, f0val, df0dx, fval, dfdx,
-                low, upp, a0_MMA, a_MMA, c_MMA, d_MMA)
+                low, upp, obj_weight, lin_weight, slack_penalty, slack_quad)
 
             xold2 = xold1.copy()
             xold1 = x.copy()
@@ -360,8 +363,9 @@ class MMA:
                               "xold2": xold2, "low": low, "upp": upp,
                               "C0": C0})
             self.logger.info(
-                "It.: %4d | Obj.: %1.3e | Constr.:  %1.3e | ch.: %1.3e | C: %1.3e",
-                loop, float(f0val), float(fval[0][0]), float(ch), float(C))
+                "iter %4d  obj=%1.3e  constr=%1.3e  step=%1.3e  "
+                "compliance=%1.3e", loop, float(f0val),
+                float(fval[0][0]), float(ch), float(C))
             if ch < options["deltaIt"]:
                 self.logger.info("Convergence reached")
                 break

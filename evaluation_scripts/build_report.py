@@ -22,29 +22,31 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# (section title, script relative to repo root, extra args, out_kind) —
-# out_kind "dir" scripts write PNGs into --out/, "file" scripts take a
-# single output-file --out; sections mirror the ref notebook list
-# (00..09 + wccm2024).
+# (section title, script relative to repo root, extra args, out_kind,
+# supports_cpu) — out_kind "dir" scripts write PNGs into --out/, "file"
+# scripts take a single output-file --out; supports_cpu flags scripts
+# whose CLI accepts --cpu (probing the source text mis-fired on
+# comments); sections mirror the ref notebook list (00..09 + wccm2024).
 SCRIPTS = [
     ("Training screenshots",
      "evaluation_scripts/training_screenshots.py",
-     ["--family", "snappy"], "dir"),
+     ["--family", "snappy"], "dir", True),
     ("Graded-tile interpolation",
-     "evaluation_scripts/graded_tile_figure.py", [], "dir"),
+     "evaluation_scripts/graded_tile_figure.py", [], "dir", True),
     ("Derivative plots",
      "evaluation_scripts/plot_derivatives.py",
-     ["-e", "experiments/double_lattice_3D_no_topo", "-N", "12"], "file"),
+     ["-e", "experiments/double_lattice_3D_no_topo", "-N", "12"],
+     "file", False),
     ("Optimization screenshots",
      "evaluation_scripts/optimization_screenshots.py",
-     ["optimization_runs/opti_double_lattice_8x4"], "dir"),
+     ["optimization_runs/opti_double_lattice_8x4"], "dir", False),
     ("Latent-space analysis",
      "evaluation_scripts/latent_space_analysis.py",
-     ["-e", "experiments/double_lattice_3D"], "file"),
+     ["-e", "experiments/double_lattice_3D"], "file", False),
     ("Paper figures",
      "evaluation_scripts/paper_figures.py",
      ["interpolation", "-e", "experiments/double_lattice_3D_no_topo"],
-     "file"),
+     "file", True),
 ]
 
 PAGE = """<!DOCTYPE html>
@@ -87,7 +89,7 @@ def main():
     os.makedirs(figdir, exist_ok=True)
 
     sections = []
-    for title, script, extra, out_kind in SCRIPTS:
+    for title, script, extra, out_kind, supports_cpu in SCRIPTS:
         sec_dir = os.path.join(figdir, _slug(title))
         note = ""
         if args.run:
@@ -96,7 +98,7 @@ def main():
                        else os.path.join(sec_dir, _slug(title) + ".png"))
             cmd = [sys.executable, os.path.join(REPO, script),
                    *extra, "--out", out_arg]
-            if args.cpu and "--cpu" in open(os.path.join(REPO, script)).read():
+            if args.cpu and supports_cpu:
                 cmd.append("--cpu")
             print(f"[{title}] running {' '.join(cmd[1:])}")
             try:

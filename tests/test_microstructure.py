@@ -162,3 +162,25 @@ def test_diff_jacobian_matches_finite_difference(sphere_decoder):
             np.testing.assert_allclose(an[mask], fd[mask], rtol=0.05, atol=2e-3)
             checked += 1
     assert checked >= 3
+
+
+def test_degenerate_all_void_design_returns_empty_jacobian():
+    """A design with no zero crossings (all-void grid) must yield an
+    empty mesh and an empty (0,3,C,L) jacobian, not crash the padding
+    logic (advisor round-4 finding: broadcast_to on an empty endpoint
+    set raised ValueError, killing the optimizer iterate)."""
+    config = DecoderConfig(latent_size=2, dims=(16, 16), geom_dimension=3)
+    params = init_decoder_params(jax.random.PRNGKey(0), config)
+    # constant strongly-positive SDF everywhere -> zero crossing edges
+    params["lin2"] = dict(params["lin2"])
+    params["lin2"]["w"] = jnp.zeros_like(params["lin2"]["w"])
+    params["lin2"]["b"] = jnp.full_like(params["lin2"]["b"], 0.5)
+
+    spline = latent_field_spline(2, [1, 1, 1], [0])
+    spline.control_points = np.zeros_like(spline.control_points)
+
+    verts, faces, jac = create_mesh_microstructure_diff(
+        (1, 1, 1), config, params, spline, N=[8, 8, 8],
+        compute_derivatives=True)
+    assert len(verts) == 0 and len(faces) == 0
+    assert jac.shape == (0, 3, spline.control_points.shape[0], 2)
