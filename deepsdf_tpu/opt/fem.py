@@ -224,6 +224,53 @@ def _grad_shape_np(verts, tets):
     return np.concatenate([g0, gN], axis=1), vol
 
 
+def _island_filter(tets, ess_mask, force, V):
+    """Island removal, shared by both FEM paths: a design step can pinch
+    a strut to zero so a piece of the structure detaches outright. A
+    detached component carries rigid-body modes — the assembled system
+    is EXACTLY singular and no solver level can produce a meaningful
+    iterate (observed: round_cross_more_knot_vecs iter 27+, relres
+    pinned at ~1 across the whole ladder). Graph-partition the tet mesh
+    and keep only components anchored to the essential boundary:
+    dropped (unloaded) debris gets u=0 and contributes nothing to f·u,
+    so the anchored structure's compliance stays exact. Load on a
+    detached component means infinite physical compliance — that IS a
+    mechanism, raise FEMSolveDiverged.
+
+    Returns (referenced, anchored) bool masks over vertices."""
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    referenced = np.zeros(V, bool)
+    referenced[np.asarray(tets).reshape(-1)] = True
+
+    t_arr = np.asarray(tets)
+    gi = np.concatenate([t_arr[:, 0], t_arr[:, 0], t_arr[:, 0]])
+    gj = np.concatenate([t_arr[:, 1], t_arr[:, 2], t_arr[:, 3]])
+    # int32 data: COO construction sums duplicate slot-pairs; int8
+    # could in principle wrap to 0 mod 256 and silently delete an edge
+    # (only the sparsity pattern matters here)
+    adj = csr_matrix((np.ones(len(gi), np.int32), (gi, gj)), shape=(V, V))
+    n_comp, labels = connected_components(adj + adj.T, directed=False)
+    anchored_labels = np.unique(labels[ess_mask & referenced])
+    anchored = np.isin(labels, anchored_labels) & referenced
+    n_drop = int(referenced.sum() - anchored.sum())
+    if n_drop:
+        loose = referenced & ~anchored
+        f_loose = float(np.abs(np.asarray(force)[loose]).sum())
+        if f_loose > 0:
+            raise FEMSolveDiverged(
+                f"structure detached: {n_drop} vertices in components "
+                f"with no essential anchoring carry {f_loose:.3g} of "
+                "applied load — the loaded part is a free body (infinite "
+                "compliance)")
+        logger.warning(
+            "island removal: dropping %d unanchored vertices in %d loose "
+            "component(s) (unloaded debris; u=0 there)", n_drop,
+            len(np.unique(labels[loose])))
+    return referenced, anchored
+
+
 def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
                  x0=None):
     """Host float64 solve, converged: ILU-preconditioned BiCGStab with
@@ -261,47 +308,7 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
     cols = np.broadcast_to(cols, K.shape).ravel()
     A = coo_matrix((K.ravel(), (rows, cols)), shape=(3 * V, 3 * V)).tocsr()
 
-    referenced = np.zeros(V, bool)
-    referenced[np.asarray(tets).reshape(-1)] = True
-
-    # ---- island removal: a design step can pinch a strut to zero so a
-    # piece of the structure detaches outright. A detached component
-    # carries rigid-body modes — the assembled system is EXACTLY
-    # singular and no solver level can produce a meaningful iterate
-    # (observed: round_cross_more_knot_vecs iter 27+, relres pinned at
-    # ~1 across the whole ladder). Graph-partition the tet mesh and
-    # keep only components anchored to the essential boundary: dropped
-    # (unloaded) debris gets u=0 and contributes nothing to f·u, so
-    # the anchored structure's compliance stays exact. Load on a
-    # detached component means infinite physical compliance — that IS
-    # a mechanism, raise it as such.
-    from scipy.sparse import csr_matrix
-    from scipy.sparse.csgraph import connected_components
-
-    t_arr = np.asarray(tets)
-    gi = np.concatenate([t_arr[:, 0], t_arr[:, 0], t_arr[:, 0]])
-    gj = np.concatenate([t_arr[:, 1], t_arr[:, 2], t_arr[:, 3]])
-    # int32 data: COO construction sums duplicate slot-pairs; int8
-    # could in principle wrap to 0 mod 256 and silently delete an edge
-    # (only the sparsity pattern matters here)
-    adj = csr_matrix((np.ones(len(gi), np.int32), (gi, gj)), shape=(V, V))
-    n_comp, labels = connected_components(adj + adj.T, directed=False)
-    anchored_labels = np.unique(labels[ess_mask & referenced])
-    anchored = np.isin(labels, anchored_labels) & referenced
-    n_drop = int(referenced.sum() - anchored.sum())
-    if n_drop:
-        loose = referenced & ~anchored
-        f_loose = float(np.abs(force[loose]).sum())
-        if f_loose > 0:
-            raise FEMSolveDiverged(
-                f"structure detached: {n_drop} vertices in components "
-                f"with no essential anchoring carry {f_loose:.3g} of "
-                "applied load — the loaded part is a free body (infinite "
-                "compliance)")
-        logger.warning(
-            "island removal: dropping %d unanchored vertices in %d loose "
-            "component(s) (unloaded debris; u=0 there)", n_drop,
-            len(np.unique(labels[loose])))
+    referenced, anchored = _island_filter(tets, ess_mask, force, V)
 
     keep_v = anchored & ~ess_mask
     keep = np.repeat(keep_v, 3)
@@ -523,6 +530,14 @@ def _solve_jax_refined(verts, tets, lam, mu, force, ess_mask,
     (cheap host matvec, once per round), so the f64 defect shrinks by
     ~1e-6 per round while all the heavy lifting stays on device."""
     V = len(verts)
+    # island removal (shared with the scipy path): pin every vertex in
+    # a component not anchored to the essential boundary — u=0 there is
+    # the exact solution for unloaded debris, and it removes the exact
+    # singularity that stalls CG; loaded detached components raise
+    # FEMSolveDiverged inside the helper. Unreferenced grid vertices
+    # (zero operator rows) are pinned too.
+    _, anchored = _island_filter(tets, ess_mask, force, V)
+    ess_mask = np.asarray(ess_mask, bool) | ~anchored
     gN64, vol64 = _grad_shape_np(verts, tets)
     vol64 = np.abs(vol64)
     b = np.where(ess_mask[:, None], 0.0, force)

@@ -215,3 +215,48 @@ def test_unloaded_island_removed_and_solved():
     denom = np.abs(u_ref).max()
     assert np.abs(u[:nA] - u_ref).max() / denom < 1e-6
     assert solver.compliance() > 0
+
+
+def test_island_removal_jax_path():
+    """Round-5 port: the accelerator path must survive detached designs
+    exactly like the scipy path — unloaded debris is pinned to u=0 and
+    the anchored structure solves unchanged; a LOADED detached
+    component raises FEMSolveDiverged up front instead of stalling CG
+    on an exactly singular system."""
+    from deepsdf_tpu.opt.fem import FEMSolveDiverged
+
+    L, h = 1.0, 0.25
+    a = box_mesh(9, 4, 4, L, h)
+    mesh_ref, solver_ref = _beam_problem(nx=9, ny=4, nz=4)
+
+    b = box_mesh(9, 4, 4, L, h)
+    off = b.vertices.copy()
+    off[:, 2] += 1.0
+    verts = np.vstack([a.vertices, off])
+    tets = np.vstack([a.tets, b.tets + len(a.vertices)])
+
+    # unloaded debris: solves, debris at exactly zero
+    solver = ElasticitySolver(verts, tets, lam=0.0, mu=105.0)
+    solver.set_essential_vertices(
+        (verts[:, 0] < 1e-9) & (verts[:, 2] < 0.5))
+    bf_a = a.boundary_faces()
+    centers = verts[bf_a].mean(axis=1)
+    tip_faces = bf_a[centers[:, 0] > L - 1e-9]
+    solver.set_surface_load(tip_faces, np.array([0.0, 0.0, -0.01]))
+    solver.solve(method="jax", rel_tol=1e-8)
+    u = np.asarray(solver.u)
+    nA = len(a.vertices)
+    assert np.abs(u[nA:]).max() == 0.0
+    u_ref = np.asarray(solver_ref.u)
+    assert np.abs(u[:nA] - u_ref).max() / np.abs(u_ref).max() < 1e-5
+
+    # loaded detached component: free body, must raise
+    solver2 = ElasticitySolver(verts, tets, lam=0.0, mu=105.0)
+    solver2.set_essential_vertices(
+        (verts[:, 0] < 1e-9) & (verts[:, 2] < 0.5))
+    bf_b = b.boundary_faces() + len(a.vertices)
+    centers_b = verts[bf_b].mean(axis=1)
+    tip_faces_b = bf_b[centers_b[:, 0] > L - 1e-9]
+    solver2.set_surface_load(tip_faces_b, np.array([0.0, 0.0, -0.01]))
+    with pytest.raises(FEMSolveDiverged):
+        solver2.solve(method="jax", rel_tol=1e-8)
