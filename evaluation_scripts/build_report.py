@@ -47,6 +47,14 @@ SCRIPTS = [
      "evaluation_scripts/paper_figures.py",
      ["interpolation", "-e", "experiments/double_lattice_3D_no_topo"],
      "file", True),
+    ("Simple analysis results",
+     "evaluation_scripts/simple_analysis_figure.py", [], "dir", True),
+    ("Complex analysis results",
+     "evaluation_scripts/complex_analysis_figure.py",
+     ["-e", "experiments/round_cross_big_network"], "dir", True),
+    ("Boundary conditions",
+     "evaluation_scripts/boundary_conditions_figure.py",
+     ["-e", "experiments/round_cross_big_network"], "dir", True),
 ]
 
 PAGE = """<!DOCTYPE html>

@@ -34,3 +34,36 @@ def test_build_report_index(tmp_path):
     assert index.exists()
     text = index.read_text()
     assert "Training screenshots" in text and "Sections" in text
+
+
+def test_simple_analysis_figures(tmp_path):
+    # ref paper/06 role: distorted-beam FEM + field renders + derivative check
+    r = _run("evaluation_scripts/simple_analysis_figure.py",
+             "--cpu", "--res", "9", "--out", str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    for f in ("base_u_mag.png", "base_sed.png",
+              "distorted_u_mag.png", "distorted_sed.png"):
+        assert (tmp_path / f).exists(), f
+    assert "Delta compliance" in r.stdout
+
+
+def test_boundary_conditions_figures(tmp_path):
+    # ref paper/09 role: schematic only (no experiment -> plain box outline)
+    r = _run("evaluation_scripts/boundary_conditions_figure.py",
+             "--out", str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "boundary_conditions_3d.png").exists()
+    assert (tmp_path / "boundary_conditions_side.png").exists()
+
+
+def test_complex_analysis_figures(tmp_path):
+    # ref paper/07 role: microstructure FEM + dVertices arrows; small
+    # tiling + coarse grid keeps it in the default tier
+    r = _run("evaluation_scripts/complex_analysis_figure.py",
+             "--cpu", "--tiling", "2", "1", "1", "--n-base", "12",
+             "-e", "experiments/round_cross_big_network",
+             "--out", str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    for f in ("u_mag.png", "sed.png", "dvertices_0.png"):
+        assert (tmp_path / f).exists(), f
+    assert "Compliance of deformed mesh" in r.stdout
