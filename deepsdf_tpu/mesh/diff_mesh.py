@@ -172,7 +172,14 @@ def create_mesh_microstructure_diff(tiling, config: DecoderConfig, params,
 
         t_p = time.time()
         pts_idx = np.concatenate([u_lo, u_hi])
-        uniq, inv = np.unique(pts_idx, return_inverse=True)
+        # sort-free dedupe (== np.unique(pts_idx, return_inverse=True)):
+        # endpoint ids are bounded by the grid size, so a presence mask
+        # + prefix-sum ranking replaces the 2V-element sort
+        present = np.zeros(coords_np.shape[0], bool)
+        present[u_lo] = True
+        present[u_hi] = True
+        uniq = np.flatnonzero(present)
+        inv = (np.cumsum(present) - 1)[pts_idx]
         n_uniq = len(uniq)
         bucket = 65536
         n_pad = max(bucket, ((n_uniq + bucket - 1) // bucket) * bucket)
@@ -191,17 +198,12 @@ def create_mesh_microstructure_diff(tiling, config: DecoderConfig, params,
         B_lo, B_hi = basis[u_lo], basis[u_hi]            # (V, C) f32
 
         # df_p/dθ_{k,l} = g_p[l] * B_p[k];  dv/dθ = (c_hi−c_lo) dt/dθ.
-        # Fold the scalar dt factors into g FIRST ((V,L) work) so only
-        # two (V,C,L)-sized products + one add touch the big tensor.
-        # The big broadcasts run through torch's multithreaded CPU
-        # einsum — ~1.8× numpy on this memory-bound assembly.
-        import torch
-
-        gl = torch.from_numpy(dt_dflo[:, None] * g_lo)   # (V, L)
-        gh = torch.from_numpy(dt_dfhi[:, None] * g_hi)
-        tB_lo, tB_hi = torch.from_numpy(B_lo), torch.from_numpy(B_hi)
-        dt_dth = (torch.einsum("vl,vc->vcl", gl, tB_lo)
-                  + torch.einsum("vl,vc->vcl", gh, tB_hi))  # (V, C, L) f32
+        # Fold the scalar dt factors into g FIRST ((V,L) work); the big
+        # (V,3,C,L) rank-1 expansion streams through the native OpenMP
+        # kernel in ONE pass over the output (torch fallback: einsum,
+        # 2-3 full-tensor passes).
+        gl = dt_dflo[:, None] * g_lo                     # (V, L)
+        gh = dt_dfhi[:, None] * g_hi
 
         def coords_of(flat):
             ny, nz = dims[1], dims[2]
@@ -211,11 +213,19 @@ def create_mesh_microstructure_diff(tiling, config: DecoderConfig, params,
             return np.stack([i, j, k], 1).astype(np.float32) * np.asarray(
                 spacing, dtype=np.float32)
 
-        edge_vec = coords_of(u_hi) - coords_of(u_lo)     # (V, 3)
         # d(returned verts)/dθ includes the (phys+1)/2 scaling ⇒ × 1/2
-        tot_jac = torch.einsum(
-            "vx,vcl->vxcl", torch.from_numpy(0.5 * edge_vec),
-            dt_dth).numpy()                              # (V, 3, C, L)
+        edge_half = 0.5 * (coords_of(u_hi) - coords_of(u_lo))  # (V, 3)
+        try:
+            from ..native import assemble_jacobian
+            tot_jac = assemble_jacobian(edge_half, gl, gh, B_lo, B_hi)
+        except Exception:                                 # no native toolchain
+            import torch
+
+            tgl, tgh = torch.from_numpy(gl), torch.from_numpy(gh)
+            dt_dth = (torch.einsum("vl,vc->vcl", tgl, torch.from_numpy(B_lo))
+                      + torch.einsum("vl,vc->vcl", tgh, torch.from_numpy(B_hi)))
+            tot_jac = torch.einsum(
+                "vx,vcl->vxcl", torch.from_numpy(edge_half), dt_dth).numpy()
         logger.debug("phase jac-assembly: %.3fs", time.time() - t_p)
 
     logger.debug("Time for querying %d points and computing derivatives: %f",

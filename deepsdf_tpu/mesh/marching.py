@@ -36,6 +36,18 @@ _TETS = np.array([
 # tet edges by local vertex pair
 _TET_EDGES = np.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], dtype=np.int64)
 
+# The union of all tet edges over the 6-tet decomposition is exactly 7
+# stencil directions from each grid point (3 cube edges, 3 face
+# diagonals — one per face pair, both faces of a pair use the same
+# diagonal orientation — and the main diagonal). Enumerating crossing
+# edges as 7 shifted sign-comparisons over the whole grid replaces the
+# per-triangle np.unique weld (a sort over 3·#triangles int64 keys,
+# the hottest block of the extraction at flagship scale).
+_EDGE_DIRS = np.unique(np.concatenate([
+    np.abs(_CORNERS[_TETS[:, a]] - _CORNERS[_TETS[:, b]])
+    for a, b in _TET_EDGES]), axis=0)
+assert len(_EDGE_DIRS) == 7
+
 # case → (ntris, up to 2 triangles of edge ids); bit i set = tet vertex i inside
 _E = {k: v for v, k in enumerate(["01", "02", "03", "12", "13", "23"])}
 
@@ -69,6 +81,36 @@ for case, tris in enumerate(_CASE_TRIS):
     _TRI_COUNT[case] = len(tris)
     for t, tri in enumerate(tris):
         _TRI_TABLE[case, t] = tri
+
+
+def _build_winding_table():
+    """Precompute the outward-winding decision per (tet id, case, tri
+    slot). The runtime test used the t=1/2 midpoint triangle's normal
+    against the summed inside→outside edge directions; that decision is
+    translation/positive-scaling invariant and independent of the field
+    VALUES (the interpolated triangle is isotopic to the midpoint one
+    inside the tet), so it is a pure function of (tet, case, slot) —
+    evaluated once here on the canonical unit cube instead of per
+    output face (the hottest block of the extraction at flagship
+    scale). True = emit the triangle with vertices (0, 2, 1)."""
+    flip = np.zeros((6, 16, 2), dtype=bool)
+    for tet_id in range(6):
+        corners = _CORNERS[_TETS[tet_id]].astype(np.float64)  # (4, 3)
+        for case in range(1, 15):
+            inside = [(case >> v) & 1 == 1 for v in range(4)]
+            for slot, tri in enumerate(_CASE_TRIS[case]):
+                pts, douts = [], []
+                for e in tri:
+                    a, b = _TET_EDGES[e]
+                    pts.append(0.5 * (corners[a] + corners[b]))
+                    sgn = 1.0 if inside[a] else -1.0  # a inside → a→b is in→out
+                    douts.append(sgn * (corners[b] - corners[a]))
+                n = np.cross(pts[1] - pts[0], pts[2] - pts[0])
+                flip[tet_id, case, slot] = float(n @ np.sum(douts, axis=0)) < 0
+    return flip
+
+
+_FLIP_TABLE = _build_winding_table()
 
 
 def marching_tetrahedra(volume: np.ndarray, level: float = 0.0,
@@ -112,39 +154,79 @@ def marching_tetrahedra(volume: np.ndarray, level: float = 0.0,
         return empty
 
     # flat grid-point ids of the 8 corners of each active cell: (A, 8)
-    corner_ids = ((ci[:, None] + _CORNERS[:, 0]) * ny
-                  + (cj[:, None] + _CORNERS[:, 1])) * nz + (ck[:, None] + _CORNERS[:, 2])
+    # (int32: grid ids stay < 2^31 for any realistic grid, and the
+    # triangle-expansion gathers below are memory-bound)
+    corner_ids = (((ci[:, None] + _CORNERS[:, 0]) * ny
+                   + (cj[:, None] + _CORNERS[:, 1])) * nz
+                  + (ck[:, None] + _CORNERS[:, 2])).astype(np.int32)
 
     Ff = F.ravel()
-    # per active cell × 6 tets → (A*6, 4) global point ids
+    inside_f = inside.ravel()
+    # per active cell × 6 tets → (A*6, 4) global point ids; the case
+    # test gathers the precomputed BOOL mask, not the float64 field
     tet_pts = corner_ids[:, _TETS].reshape(-1, 4)
-    tet_vals = Ff[tet_pts]
-    tet_inside = tet_vals < 0
+    tet_inside = inside_f[tet_pts]
     case = (tet_inside * np.array([1, 2, 4, 8])).sum(axis=1)
     keep = (case > 0) & (case < 15)
     tet_pts = tet_pts[keep]
     case = case[keep]
+    tet6 = np.tile(np.arange(6, dtype=np.int8), len(ci))[keep]  # tet id in cube
 
-    # expand to triangles
+    # expand to triangles, with the precomputed outward winding applied
+    # at emission (replaces the per-face geometric orientation test)
     ntri = _TRI_COUNT[case]                     # (T,) in {1,2}
     tri_tet_idx = np.repeat(np.arange(len(case)), ntri)
     tri_slot = (np.arange(ntri.sum()) - np.repeat(np.cumsum(ntri) - ntri, ntri))
-    tri_edges = _TRI_TABLE[case[tri_tet_idx], tri_slot]        # (Ntri, 3) edge ids
+    case_t = case[tri_tet_idx]
+    tri_edges = _TRI_TABLE[case_t, tri_slot]                   # (Ntri, 3) edge ids
+    flip = _FLIP_TABLE[tet6[tri_tet_idx], case_t, tri_slot]
+    tri_edges[flip] = tri_edges[flip][:, [0, 2, 1]]
 
     # edge → (global point a, global point b)
     ev = _TET_EDGES[tri_edges]                                 # (Ntri, 3, 2) local verts
     pa = np.take_along_axis(tet_pts[tri_tet_idx], ev[..., 0], axis=1)
     pb = np.take_along_axis(tet_pts[tri_tet_idx], ev[..., 1], axis=1)
 
-    # canonicalize + weld shared edge-vertices
-    lo = np.minimum(pa, pb)
-    hi = np.maximum(pa, pb)
-    ekey = lo.astype(np.int64) * (nx * ny * nz) + hi
-    uniq, faces_flat = np.unique(ekey, return_inverse=True)
-    faces = faces_flat.reshape(-1, 3)
+    # --- weld shared edge-vertices (sort-free enumeration) ---
+    # The output vertex set is exactly the set of sign-crossing tet
+    # edges, and every tet edge is one of the 7 stencil directions
+    # from its lower grid point — so enumerate crossing edges with 7
+    # shifted sign-comparisons over the whole grid instead of welding
+    # 3·#triangles duplicated keys with np.unique (a large sort, the
+    # hottest block at flagship scale). Vertex ORDER is kept identical
+    # to the former np.unique(lo·npts+hi): ascending (lo, hi), which
+    # (since hi = lo + offset) equals ascending packed key lo·8+rank
+    # with directions ranked by flat offset.
+    npts = nx * ny * nz
+    offs = (_EDGE_DIRS[:, 0] * ny + _EDGE_DIRS[:, 1]) * nz + _EDGE_DIRS[:, 2]
+    rank = np.argsort(offs, kind="stable")
+    offs_sorted = offs[rank]
+    keys = []
+    for d, di in enumerate(rank):
+        dx, dy, dz = _EDGE_DIRS[di]
+        m = inside[:nx - dx, :ny - dy, :nz - dz] != inside[dx:, dy:, dz:]
+        ii, jj, kk = np.nonzero(m)
+        keys.append((((ii * ny + jj) * nz + kk) * 8 + d).astype(np.int64))
+    keys = np.concatenate(keys)
+    keys.sort(kind="stable")
+    u_lo = keys >> 3
+    u_hi = u_lo + offs_sorted[keys & 7]
 
-    u_lo = (uniq // (nx * ny * nz)).astype(np.int64)
-    u_hi = (uniq % (nx * ny * nz)).astype(np.int64)
+    # triangle corners → vertex ids. Direction rank by small lookup;
+    # key→vertex-id by a direct-address table when it fits (one gather)
+    # or binary search otherwise (every triangle edge is a crossing tet
+    # edge, so lookups always hit).
+    lo = np.minimum(pa, pb)
+    delta = np.maximum(pa, pb) - lo
+    dlut = np.zeros(int(offs_sorted[-1]) + 1, np.int64)
+    dlut[offs_sorted] = np.arange(7)
+    tri_keys = lo.astype(np.int64) * 8 + dlut[delta]
+    if npts <= 4_000_000:                       # ≤128 MB table
+        vmap = np.empty(npts * 8, np.int32)
+        vmap[keys] = np.arange(len(keys), dtype=np.int32)
+        faces = vmap[tri_keys].astype(np.int64)
+    else:
+        faces = np.searchsorted(keys, tri_keys)
     va = Ff[u_lo]
     vb = Ff[u_hi]
     t = va / (va - vb)
@@ -160,38 +242,27 @@ def marching_tetrahedra(volume: np.ndarray, level: float = 0.0,
     c_lo, c_hi = coords(u_lo), coords(u_hi)
     verts = (c_lo * (1 - t[:, None]) + c_hi * t[:, None]) * sp
 
-    # orient: normal must point toward +field. Every output vertex lies
-    # on an edge crossing inside→outside; the inside→outside direction
-    # of each crossing edge has a strictly positive component along the
-    # outward normal of the (planar) in-tet surface patch, so the sum
-    # over a face's three edge directions does too. This uses only the
-    # per-vertex endpoint coords already in hand — the previous
-    # inside/outside tet-centroid test converted 4 corner ids per
-    # triangle (~7M id→coord conversions at flagship scale, the single
-    # hottest block of the extraction).
-    #
-    # The test normal is computed from the EXACT t=1/2 midpoint
-    # triangle, not the interpolated one: midpoints are integer-exact,
-    # so the winding decision is a pure function of the crossing-edge
-    # topology. The interpolated triangle of a sliver configuration has
-    # a ULP-unstable normal, and the sparse two-level grid path
-    # (grid_eval.eval_sdf_grid_sparse) reproduces the dense field only
-    # to ~1 ULP — a position-dependent decision made those sliver
-    # windings differ between sparse and dense extractions. The
-    # midpoint triangle is isotopic to the interpolated one inside the
-    # tet, so the decided orientation agrees for every non-degenerate
-    # face.
-    d_out = (c_hi - c_lo) * np.sign(vb - va)[:, None]          # (V, 3)
-    mid = (c_lo + c_hi) * (0.5 * sp)
-    tm = mid[faces]
-    n_mid = np.cross(tm[:, 1] - tm[:, 0], tm[:, 2] - tm[:, 0])
-    flip = (n_mid * d_out[faces].sum(axis=1)).sum(1) < 0
-    faces[flip] = faces[flip][:, [0, 2, 1]]
+    # orientation (normal toward +field) was applied at triangle
+    # emission via _FLIP_TABLE — the same t=1/2 midpoint-triangle test
+    # the former per-face pass ran (value-independent and invariant
+    # under translation/positive scaling, so one decision per
+    # (tet, case, slot) on the canonical cube covers every face; see
+    # _build_winding_table).
 
-    # drop degenerate (zero-area) triangles from edge-touching levels
-    tv = verts[faces]
-    area2 = np.linalg.norm(np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]), axis=1)
-    faces = faces[area2 > 1e-300]
+    # drop degenerate (zero-area) triangles from edge-touching levels.
+    # A face can only degenerate when a crossing lands exactly on a
+    # grid point (t = 0 or 1): distinct tet edges intersect at corners
+    # only, so strictly interior crossings are pairwise distinct.
+    # Compute the exact area test only on those candidate faces.
+    t_face = t[faces]
+    cand = np.flatnonzero(((t_face == 0.0) | (t_face == 1.0)).any(axis=1))
+    if len(cand):
+        tv = verts[faces[cand]]
+        area2 = np.linalg.norm(
+            np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]), axis=1)
+        bad = cand[area2 <= 1e-300]
+        if len(bad):
+            faces = np.delete(faces, bad, axis=0)
 
     # vertex normals from field gradient (toward +field) — central
     # differences evaluated ONLY at the crossing-edge endpoints (the

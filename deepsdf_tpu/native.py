@@ -65,8 +65,30 @@ def _get_lib():
         lib.dsdf_write_normalization_npz.restype = ctypes.c_int
         lib.dsdf_write_normalization_npz.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_float]
+        lib.dsdf_assemble_jacobian.restype = None
+        lib.dsdf_assemble_jacobian.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
         _lib = lib
     return _lib
+
+
+def assemble_jacobian(e: np.ndarray, gl: np.ndarray, gh: np.ndarray,
+                      Blo: np.ndarray, Bhi: np.ndarray) -> np.ndarray:
+    """out[v,x,c,l] = e[v,x]*(gl[v,l]*Blo[v,c] + gh[v,l]*Bhi[v,c]) —
+    the diff-mesh jacobian rank-1 expansion, streamed by the OpenMP
+    kernel in deepsdf_native.cpp (one pass over the output instead of
+    the 2-3 full-tensor numpy/torch passes)."""
+    lib = _get_lib()
+    V, L = gl.shape
+    C = Blo.shape[1]
+    arrs = [np.ascontiguousarray(a, dtype=np.float32)
+            for a in (e, gl, gh, Blo, Bhi)]
+    out = np.empty((V, 3, C, L), dtype=np.float32)
+    lib.dsdf_assemble_jacobian(*[_fptr(a) for a in arrs], V, C, L, _fptr(out))
+    return out
 
 
 def _fptr(a: np.ndarray):

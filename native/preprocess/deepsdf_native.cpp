@@ -708,4 +708,41 @@ int dsdf_write_normalization_npz(const char* path, const float* offset,
   }
 }
 
+
+// Differentiable-mesh jacobian assembly (deepsdf_tpu/mesh/diff_mesh.py):
+// out[v,x,c,l] = e[v,x] * (gl[v,l]*Blo[v,c] + gh[v,l]*Bhi[v,c]).
+// The (V,3,C,L) tensor is a rank-1 expansion per vertex; materializing
+// it in numpy/torch cost 2-3 full extra passes over ~300 MB of
+// intermediates. Here the inner (C,L) block is built once per vertex
+// in cache and streamed out with OpenMP threads — the write of `out`
+// is the only large memory traffic.
+void dsdf_assemble_jacobian(const float* e, const float* gl,
+                            const float* gh, const float* Blo,
+                            const float* Bhi, long long V, int C, int L,
+                            float* out) {
+  const long long CL = (long long)C * L;
+#pragma omp parallel
+  {
+    std::vector<float> d((size_t)CL);
+#pragma omp for schedule(static)
+    for (long long v = 0; v < V; ++v) {
+      const float* glv = gl + v * L;
+      const float* ghv = gh + v * L;
+      const float* blv = Blo + v * C;
+      const float* bhv = Bhi + v * C;
+      for (int c = 0; c < C; ++c) {
+        const float bl = blv[c], bh = bhv[c];
+        float* dc = d.data() + (size_t)c * L;
+        for (int l = 0; l < L; ++l) dc[l] = glv[l] * bl + ghv[l] * bh;
+      }
+      float* o = out + v * 3 * CL;
+      for (int x = 0; x < 3; ++x) {
+        const float ex = e[v * 3 + x];
+        float* ox = o + x * CL;
+        for (long long i = 0; i < CL; ++i) ox[i] = ex * d[i];
+      }
+    }
+  }
+}
+
 }  // extern "C"
