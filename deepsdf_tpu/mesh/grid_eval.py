@@ -209,9 +209,11 @@ def eval_sdf_grid_sparse(config: DecoderConfig, params, latent_vec, N: int,
         return _ret(np.asarray(eval_sdf_grid(config, params, latent_vec, coords,
                                              chunk=chunk, fused=fused), np.float32))
 
-    base = np.broadcast_to(
-        vals_c.reshape(Nc, 1, Nc, 1, Nc, 1), (Nc, c, Nc, c, Nc, c)).copy()
     if count == 0:
+        if checksum_only:
+            return _ret(float(vals_c.sum()))
+        base = np.broadcast_to(
+            vals_c.reshape(Nc, 1, Nc, 1, Nc, 1), (Nc, c, Nc, c, Nc, c)).copy()
         return _ret(base.reshape(-1))
 
     K = max(1024, 1 << int(np.ceil(np.log2(count))))
@@ -229,6 +231,11 @@ def eval_sdf_grid_sparse(config: DecoderConfig, params, latent_vec, N: int,
         return _ret(float(jnp.sum(fine_dev)) + float(vals_c.sum()))
     fine = np.asarray(fine_dev, np.float32)
 
+    # the N^3 coarse-filled output buffer is built only on the real
+    # (field-returning) path — the checksum benchmarking path above
+    # must not pay this ~0.25 s (at 512^3) host broadcast-copy
+    base = np.broadcast_to(
+        vals_c.reshape(Nc, 1, Nc, 1, Nc, 1), (Nc, c, Nc, c, Nc, c)).copy()
     bi, bj, bk = active // (Nc * Nc), (active // Nc) % Nc, active % Nc
     base[bi, :, bj, :, bk, :] = fine[:count].reshape(count, c, c, c)
     return _ret(base.reshape(-1))
