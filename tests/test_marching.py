@@ -77,3 +77,39 @@ def test_ply_roundtrip(tmp_path):
     v3, f3 = read_ply(p2)
     np.testing.assert_allclose(v3, verts.astype(np.float32), rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(f3, faces)
+
+
+def test_winding_table_matches_geometric_test():
+    """_FLIP_TABLE is the precomputed form of the old per-face midpoint
+    orientation test; verify it against a brute-force evaluation with
+    RANDOM field magnitudes for every (tet, case, slot) — the decision
+    must be value-independent (isotopy inside the tet) and must point
+    the normal toward +field."""
+    import numpy as np
+    from deepsdf_tpu.mesh.marching import (
+        _CASE_TRIS, _CORNERS, _FLIP_TABLE, _TET_EDGES, _TETS,
+    )
+
+    rng = np.random.default_rng(0)
+    for tet_id in range(6):
+        corners = _CORNERS[_TETS[tet_id]].astype(np.float64)
+        for case in range(1, 15):
+            inside = [(case >> v) & 1 == 1 for v in range(4)]
+            for trial in range(5):
+                vals = np.where(inside, -rng.uniform(0.05, 3, 4),
+                                rng.uniform(0.05, 3, 4))
+                for slot, tri in enumerate(_CASE_TRIS[case]):
+                    pts, douts = [], []
+                    for e in tri:
+                        a, b = _TET_EDGES[e]
+                        t = vals[a] / (vals[a] - vals[b])
+                        pts.append(corners[a] * (1 - t) + corners[b] * t)
+                        sgn = 1.0 if inside[a] else -1.0
+                        douts.append(sgn * (corners[b] - corners[a]))
+                    # triangle as emitted (flip applied)
+                    p = ([pts[0], pts[2], pts[1]]
+                         if _FLIP_TABLE[tet_id, case, slot] else pts)
+                    n = np.cross(p[1] - p[0], p[2] - p[0])
+                    # emitted winding must face the inside->outside flow
+                    assert float(n @ np.sum(douts, axis=0)) > 0, \
+                        (tet_id, case, slot, trial)
