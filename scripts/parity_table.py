@@ -76,6 +76,18 @@ NOTES = {
                     "a band that brackets the reference's value.",
         },
     },
+    "round_cross_big_network": {
+        "variance_study": {
+            "n_runs": 3,
+            "seeds": [0, 1, 2],
+            "final_losses": [0.00781, 0.00731, 0.00824],
+            "shipped": "seed 0 (committed fixture)",
+            "note": "round-5 2-seed recheck of the 0.0078-vs-ref-0.0074 "
+                    "gap: seeds 1/2 land at 0.0073/0.0082 on regenerated "
+                    "(byte-identical) data — the committed run sits inside "
+                    "ordinary seed variance around the reference's value.",
+        },
+    },
     "corner_spheres_only_small_network": {
         "variance_study": {
             "n_runs": 9,
