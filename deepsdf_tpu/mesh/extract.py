@@ -35,9 +35,11 @@ def _resolve_fused(config: DecoderConfig, fused) -> bool:
     return jax.default_backend() in ("tpu", "axon") and supports_fused(config)
 
 
-def _use_sparse(sparse: bool, N: int, coarse: int) -> bool:
+def _use_sparse(sparse: bool, N: int, coarse: int | None) -> bool:
     if not sparse:
         return False
+    if coarse is None:
+        coarse = max(4, N // 64)  # eval_sdf_grid_sparse's auto choice
     if N % coarse:
         logger.warning("sparse grid eval needs N %% coarse == 0 "
                        "(N=%d, coarse=%d); using the dense pass", N, coarse)
@@ -48,7 +50,7 @@ def _use_sparse(sparse: bool, N: int, coarse: int) -> bool:
 def create_mesh(config: DecoderConfig, params, latent_vec, filename: str | None,
                 N: int = 256, max_batch: int = 32 ** 3, offset=None, scale=None,
                 return_mesh: bool = False, sparse: bool = False,
-                fused: bool | str = "auto", coarse: int = 4):
+                fused: bool | str = "auto", coarse: int | None = None):
     """Reconstruct a shape from one latent code (ref: mesh.py:26-85).
 
     Grid: N³ over [-1,1]³, voxel_size 2/(N-1), origin (-1,-1,-1).
@@ -83,7 +85,8 @@ def create_mesh(config: DecoderConfig, params, latent_vec, filename: str | None,
 def create_meshes_pipelined(config: DecoderConfig, params, jobs,
                             N: int = 256, max_batch: int = 32 ** 3,
                             offset=None, scale=None, sparse: bool = False,
-                            fused: bool | str = "auto", coarse: int = 4,
+                            fused: bool | str = "auto",
+                            coarse: int | None = None,
                             on_done=None) -> list[str]:
     """Sweep helper: extract one mesh per (latent, filename) job.
 
