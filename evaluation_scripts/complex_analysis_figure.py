@@ -45,9 +45,14 @@ def arrow_plot(verts, faces, dverts, path, title, scale=None, stride=23):
     coll = Poly3DCollection(verts[faces], facecolors=(0.8, 0.8, 0.85, 0.35),
                             edgecolors="none")
     ax.add_collection3d(coll)
-    sel = np.flatnonzero(np.linalg.norm(dverts, axis=1) > 1e-12)[::stride]
+    mag = np.linalg.norm(dverts, axis=1)
+    # draw where the design actually moves: every vertex above 10% of
+    # the peak velocity, thinned to ~400 arrows (a uniform stride
+    # mostly sampled near-zero cap/interior vertices)
+    sel = np.flatnonzero(mag > 0.1 * mag.max())
+    sel = sel[:: max(1, len(sel) // 400)]
     if scale is None:  # longest drawn arrow ~0.15 domain units
-        scale = 0.15 / max(np.linalg.norm(dverts, axis=1).max(), 1e-12)
+        scale = 0.15 / max(mag.max(), 1e-12)
     if len(sel):
         v, d = verts[sel], scale * dverts[sel]
         ax.quiver(v[:, 0], v[:, 1], v[:, 2], d[:, 0], d[:, 1], d[:, 2],
