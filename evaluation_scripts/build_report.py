@@ -55,6 +55,8 @@ SCRIPTS = [
     ("Boundary conditions",
      "evaluation_scripts/boundary_conditions_figure.py",
      ["-e", "experiments/round_cross_big_network"], "dir", True),
+    ("Optimization trajectory parity",
+     "evaluation_scripts/trajectory_parity_figure.py", [], "file", False),
 ]
 
 PAGE = """<!DOCTYPE html>

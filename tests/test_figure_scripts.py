@@ -67,3 +67,13 @@ def test_complex_analysis_figures(tmp_path):
     for f in ("u_mag.png", "sed.png", "dvertices_0.png"):
         assert (tmp_path / f).exists(), f
     assert "Compliance of deformed mesh" in r.stdout
+
+
+def test_trajectory_parity_figure(tmp_path):
+    # round-5 artifact: ours-vs-reference normalized trajectories; works
+    # without the reference tree (panels then carry only our curves)
+    out = tmp_path / "parity.png"
+    r = _run("evaluation_scripts/trajectory_parity_figure.py",
+             "--out", str(out), "--ref", str(tmp_path / "no_ref"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
