@@ -19,6 +19,7 @@ Allaire boundary-form shape derivatives for compliance and volume
 from __future__ import annotations
 
 import logging
+import math
 from functools import partial
 
 import numpy as np
@@ -381,13 +382,17 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
     # iterations share mesh character, so a failed weak factor would
     # keep failing every iteration).
     levels = ((1e-4, 12), (3e-6, 30))
-    # The level that last converged is sticky PER PROBLEM SIZE (ndof
-    # keys consecutive optimizer iterations on the same mesh family
-    # without leaking across unrelated runs/tests in one process —
-    # advisor round 3), and the weak factor is retried every 8th solve
-    # so a transient escalation doesn't pin the fill_factor=30 cost
-    # forever.
-    key = Aff.shape[0]
+    # The level that last converged is sticky PER PROBLEM-SIZE BUCKET.
+    # Exact ndof is the wrong key: trimmed-lattice meshes change vertex
+    # count every optimizer iteration, so an exact key never re-fires
+    # and every iteration re-pays a doomed weak-ILU attempt (~165 s on
+    # the opti_double_lattice family — observed round 5). A ~15%-wide
+    # log-space bucket groups consecutive iterations of one mesh family
+    # while still separating unrelated runs/tests in the same process
+    # (the advisor-round-3 leak concern). The weak factor is retried
+    # every 8th solve so a transient escalation doesn't pin the
+    # fill_factor=30 cost forever.
+    key = _size_bucket(Aff.shape[0])
     start = _solve_scipy._sticky_level.get(key, 0)
     _solve_scipy._solve_count[key] = _solve_scipy._solve_count.get(key, 0) + 1
     if start > 0 and _solve_scipy._solve_count[key] % 8 == 0:
@@ -496,6 +501,16 @@ def _solve_scipy(verts, tets, lam, mu, force, ess_mask, rel_tol, max_iter,
 
 
 # which ILU strength last converged, keyed by ndof; see levels loop above
+def _size_bucket(ndof: int) -> int:
+    """~15%-wide log-space problem-size bucket for solver-level stickiness.
+
+    Consecutive optimizer iterations of one mesh family (ndof drift ~1%)
+    share a bucket; unrelated problems (test meshes vs production, or
+    different run families) land in distant buckets.
+    """
+    return int(round(math.log(max(ndof, 1)) / math.log(1.15)))
+
+
 _solve_scipy._sticky_level = {}
 _solve_scipy._solve_count = {}
 

@@ -260,3 +260,16 @@ def test_island_removal_jax_path():
     solver2.set_surface_load(tip_faces_b, np.array([0.0, 0.0, -0.01]))
     with pytest.raises(FEMSolveDiverged):
         solver2.solve(method="jax", rel_tol=1e-8)
+
+
+def test_sticky_level_buckets_track_mesh_drift():
+    # Trimmed-lattice meshes change ndof every optimizer iteration; the
+    # solver-level stickiness must survive that drift (an exact-ndof key
+    # re-paid a doomed weak-ILU attempt every iteration — round 5) while
+    # still separating unrelated problem sizes (tests vs production).
+    from deepsdf_tpu.opt.fem import _size_bucket
+    base = 300_000
+    assert _size_bucket(base) == _size_bucket(int(base * 1.01))
+    assert _size_bucket(base) == _size_bucket(int(base * 0.99))
+    assert _size_bucket(base) != _size_bucket(base * 10)
+    assert _size_bucket(900) != _size_bucket(base)
